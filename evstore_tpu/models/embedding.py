@@ -1,0 +1,173 @@
+"""Embedding tables: initialization, lookup, and the md/qr compressed tricks.
+
+Reference: DLRM_Net.create_emb (dlrm_s_pytorch.py:247-294) initializes each
+table uniform(-1/sqrt(n), 1/sqrt(n)); apply_emb (:407-459) looks up one row
+per table per sample (bag size 1 on Criteo, dlrm_data_pytorch.py:407-408) with
+optional per-sample weights; QREmbeddingBag (tricks/qr_embedding_bag.py) and
+PrEmbeddingBag/md_solver (tricks/md_embedding_bag.py) are the compressed
+variants.
+
+TPU-first design: tables are plain [N, D] arrays in a pytree; the Criteo
+lookup is a batched `take` along rows which XLA lowers to a dynamic-gather —
+or the Pallas double-buffered gather kernel (`ops.pallas_gather`) for the
+row-sharded path.  Instead of 26 module objects, the whole sparse arch is one
+pytree: either a dict of per-table arrays (uneven sizes) or one stacked
+[T, N, D] array (uniform sizes; enables a single fused gather and table-wise
+sharding).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def init_embedding_tables(key: jax.Array, table_sizes: Sequence[int],
+                          dim: int, dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
+    """Uniform(-1/sqrt(n), 1/sqrt(n)) per table (dlrm_s_pytorch.py:278-283)."""
+    tables = {}
+    keys = jax.random.split(key, len(table_sizes))
+    for t, (k, n) in enumerate(zip(keys, table_sizes)):
+        bound = float(np.sqrt(1.0 / n))
+        tables[f"table_{t}"] = jax.random.uniform(
+            k, (n, dim), dtype=dtype, minval=-bound, maxval=bound)
+    return tables
+
+
+def embedding_lookup(tables: Dict[str, jnp.ndarray], idx: jnp.ndarray,
+                     compute_dtype=None) -> jnp.ndarray:
+    """idx: [B, T] int32 row ids -> [B, T, D] rows.
+
+    One gather per table (tables have uneven row counts).  XLA fuses the
+    per-table gathers; for the sharded/cached paths see parallel/ and cache/.
+    """
+    outs = []
+    for t in range(idx.shape[1]):
+        rows = jnp.take(tables[f"table_{t}"], idx[:, t], axis=0)
+        outs.append(rows)
+    out = jnp.stack(outs, axis=1)
+    if compute_dtype is not None:
+        out = out.astype(compute_dtype)
+    return out
+
+
+# ------------------------------------------------------------------ QR trick
+
+def init_qr_tables(key: jax.Array, num_rows: int, dim: int, collisions: int,
+                   operation: str = "mult", dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
+    """Quotient-remainder compositional embedding (tricks/qr_embedding_bag.py:25-185):
+    table_q has ceil(n/c) rows, table_r has c rows; combined by mult/add/concat."""
+    num_q = -(-num_rows // collisions)
+    kq, kr = jax.random.split(key)
+    if operation == "concat":
+        dq = dim // 2
+        dr = dim - dq
+    else:
+        dq = dr = dim
+    bq = float(np.sqrt(1.0 / num_q))
+    br = float(np.sqrt(1.0 / collisions))
+    return {
+        "q": jax.random.uniform(kq, (num_q, dq), dtype=dtype, minval=-bq, maxval=bq),
+        "r": jax.random.uniform(kr, (collisions, dr), dtype=dtype, minval=-br, maxval=br),
+    }
+
+
+def qr_lookup(qr: Dict[str, jnp.ndarray], idx: jnp.ndarray, collisions: int,
+              operation: str = "mult") -> jnp.ndarray:
+    """idx: [B] -> [B, D] (tricks/qr_embedding_bag.py:156-174)."""
+    q = jnp.take(qr["q"], idx // collisions, axis=0)
+    r = jnp.take(qr["r"], idx % collisions, axis=0)
+    if operation == "mult":
+        return q * r
+    if operation == "add":
+        return q + r
+    if operation == "concat":
+        return jnp.concatenate([q, r], axis=-1)
+    raise ValueError(f"unsupported qr operation {operation}")
+
+
+# ------------------------------------------------------------------ MD trick
+
+def md_solver(sizes: np.ndarray, alpha: float, d0: Optional[int] = None,
+              round_dim: bool = False) -> np.ndarray:
+    """Mixed-dimension alpha-power rule (tricks/md_embedding_bag.py:20-61):
+    d_i = d0 * (n_i / n_max)^(-alpha) capped at d0, where n is sorted
+    descending and d0 defaults to the dim of the largest table."""
+    sizes = np.asarray(sizes, dtype=np.float64)
+    order = np.argsort(-sizes)
+    n_sorted = sizes[order]
+    if d0 is None:
+        raise ValueError("d0 (base dim) required")
+    p = n_sorted / n_sorted[0]
+    d = d0 * np.power(p, alpha)
+    d = np.maximum(d, 1)
+    if round_dim:
+        d = np.power(2, np.round(np.log2(d))).astype(np.int64)  # pow_2_round (:59)
+    d = np.minimum(d, d0).astype(np.int64)
+    out = np.empty_like(d)
+    out[order] = d
+    return out
+
+
+def init_md_table(key: jax.Array, num_rows: int, base_dim: int, md_dim: int,
+                  dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
+    """PrEmbeddingBag (tricks/md_embedding_bag.py:63-81): a [n, md_dim] table
+    plus a [md_dim, base_dim] linear up-projection (no bias)."""
+    kt, kp = jax.random.split(key)
+    bt = float(np.sqrt(1.0 / num_rows))
+    tab = jax.random.uniform(kt, (num_rows, md_dim), dtype=dtype, minval=-bt, maxval=bt)
+    if md_dim == base_dim:
+        return {"table": tab}
+    bp = float(np.sqrt(2.0 / (md_dim + base_dim)))  # xavier-ish
+    proj = jax.random.uniform(kp, (md_dim, base_dim), dtype=dtype, minval=-bp, maxval=bp)
+    return {"table": tab, "proj": proj}
+
+
+def md_lookup(md: Dict[str, jnp.ndarray], idx: jnp.ndarray) -> jnp.ndarray:
+    rows = jnp.take(md["table"], idx, axis=0)
+    if "proj" in md:
+        rows = rows @ md["proj"]
+    return rows
+
+
+# --------------------------------------------------- unified sparse arch API
+
+def init_sparse_arch(key: jax.Array, cfg) -> Dict[str, dict]:
+    """Initialize the full sparse side honoring qr/md flags from DLRMConfig."""
+    sizes = cfg.table_sizes
+    keys = jax.random.split(key, len(sizes))
+    dtype = jnp.dtype(cfg.param_dtype)
+    if cfg.md_flag:
+        md_dims = md_solver(np.asarray(sizes), -cfg.md_temperature,
+                            d0=cfg.embedding_dim, round_dim=cfg.md_round_dims)
+    params: Dict[str, dict] = {}
+    for t, (k, n) in enumerate(zip(keys, sizes)):
+        if cfg.qr_flag and n > cfg.qr_threshold:
+            params[f"table_{t}"] = {"kind_qr": init_qr_tables(
+                k, n, cfg.embedding_dim, cfg.qr_collisions, cfg.qr_operation, dtype)}
+        elif cfg.md_flag and n > cfg.md_threshold:
+            params[f"table_{t}"] = {"kind_md": init_md_table(
+                k, n, cfg.embedding_dim, int(md_dims[t]), dtype)}
+        else:
+            bound = float(np.sqrt(1.0 / n))
+            params[f"table_{t}"] = {"kind_plain": jax.random.uniform(
+                k, (n, cfg.embedding_dim), dtype=dtype, minval=-bound, maxval=bound)}
+    return params
+
+
+def sparse_arch_lookup(params: Dict[str, dict], idx: jnp.ndarray, cfg) -> jnp.ndarray:
+    """idx [B, T] -> [B, T, D] honoring per-table qr/md/plain kinds."""
+    outs = []
+    for t in range(idx.shape[1]):
+        p = params[f"table_{t}"]
+        if "kind_qr" in p:
+            rows = qr_lookup(p["kind_qr"], idx[:, t], cfg.qr_collisions, cfg.qr_operation)
+        elif "kind_md" in p:
+            rows = md_lookup(p["kind_md"], idx[:, t])
+        else:
+            rows = jnp.take(p["kind_plain"], idx[:, t], axis=0)
+        outs.append(rows)
+    return jnp.stack(outs, axis=1)

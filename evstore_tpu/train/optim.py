@@ -1,0 +1,148 @@
+"""Optimizers and LR policy for DLRM training.
+
+Reference: SGD/Adagrad/RWSAdagrad selection (dlrm_s_pytorch.py:1383-1410) and
+LRPolicyScheduler (:168-202); row-wise sparse Adagrad in optim/rwsadagrad.py.
+
+TPU-first design: instead of torch sparse tensors, the embedding update path
+receives *per-batch row gradients* (the gradient w.r.t. the gathered rows,
+deduplicated by segment-sum) and applies a scatter update touching only the
+rows seen in the batch.  MLP ("dense") params get the plain dense update.
+Everything is jittable; the optimizer state is an explicit pytree.
+
+rwsAdagrad semantics (optim/rwsadagrad.py:109-118):
+  sparse rows:  momentum[row] += mean(grad_row^2);  p[row] -= lr*grad_row /
+                (sqrt(momentum[row]) + eps)
+  dense params: sum += grad^2;  p -= lr*grad/(sqrt(sum)+eps)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def lr_schedule(base_lr: float, num_warmup_steps: int, decay_start_step: int,
+                num_decay_steps: int):
+    """Returns step -> lr, matching LRPolicyScheduler (dlrm_s_pytorch.py:180-202):
+    linear warmup to base over warmup steps; then flat; then quadratic decay
+    over num_decay_steps with floor 1e-7; frozen at the floor afterwards."""
+    decay_end_step = decay_start_step + num_decay_steps
+
+    def lr(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = jnp.float32(max(num_warmup_steps, 1))
+        warm_lr = base_lr * (1.0 - (warm - step) / warm)
+        dec = jnp.clip((decay_end_step - step) / jnp.float32(max(num_decay_steps, 1)), 0.0, 1.0)
+        decay_lr = jnp.maximum(1e-7, base_lr * dec * dec)
+        out = jnp.where(step < num_warmup_steps, warm_lr, base_lr)
+        if num_decay_steps > 0:
+            out = jnp.where(step >= decay_start_step, decay_lr, out)
+        return out
+
+    return lr
+
+
+class OptState(NamedTuple):
+    step: jnp.ndarray
+    dense: Dict       # per-dense-param state (adagrad sums), {} for sgd
+    sparse: Dict      # per-table row-wise accumulators, {} for sgd
+
+
+def _zeros_like_tree(tree):
+    return jax.tree_util.tree_map(lambda p: jnp.zeros_like(p, dtype=jnp.float32), tree)
+
+
+def make_optimizer(name: str, eps: float = 1e-10):
+    """Returns (init_fn, dense_update_fn, sparse_row_update_fn).
+
+    dense_update_fn(state_tree, params_tree, grads_tree, lr) -> (new_state, new_params)
+    sparse_row_update_fn(row_state[N], table[N,D], rows_idx[K], row_grads[K,D],
+                         count[K], lr) -> (new_row_state, new_table)
+    where rows_idx may contain a padding row (count==0 entries are masked out).
+    """
+    name = name.lower()
+    if name not in ("sgd", "adagrad", "rwsadagrad"):
+        raise ValueError(f"unsupported optimizer {name}")
+
+    def init(params) -> OptState:
+        if name == "sgd":
+            return OptState(jnp.zeros((), jnp.int32), {}, {})
+        dense_state = _zeros_like_tree(params.dense)
+        if name == "adagrad":
+            # full elementwise accumulators for embeddings too
+            sparse_state = _zeros_like_tree(params.sparse)
+        else:  # rwsadagrad: one scalar accumulator per row
+            sparse_state = jax.tree_util.tree_map(
+                lambda p: jnp.zeros((p.shape[0],), jnp.float32)
+                if p.ndim == 2 else jnp.zeros_like(p, dtype=jnp.float32),
+                params.sparse)
+        return OptState(jnp.zeros((), jnp.int32), dense_state, sparse_state)
+
+    def dense_update(state_tree, params_tree, grads_tree, lr):
+        if name == "sgd":
+            new_params = jax.tree_util.tree_map(
+                lambda p, g: (p - lr * g.astype(jnp.float32)).astype(p.dtype),
+                params_tree, grads_tree)
+            return state_tree, new_params
+        # adagrad / rwsadagrad dense branch are identical (rwsadagrad.py:115-118)
+        new_state = jax.tree_util.tree_map(
+            lambda s, g: s + g.astype(jnp.float32) ** 2, state_tree, grads_tree)
+        new_params = jax.tree_util.tree_map(
+            lambda p, g, s: (p - lr * g.astype(jnp.float32) / (jnp.sqrt(s) + eps)).astype(p.dtype),
+            params_tree, grads_tree, new_state)
+        return new_state, new_params
+
+    def sparse_row_update(row_state, table, rows_idx, row_grads, valid, lr):
+        """Scatter update touching only `rows_idx` (one entry per unique row
+        in the batch).  Padding entries carry rows_idx == INT32_MAX (see
+        PAD_ROW): genuinely out-of-bounds for any table, so mode="drop"
+        discards their writes (note: negative indices WRAP in XLA scatter,
+        they are not dropped — never use -1 as the padding sentinel); `valid`
+        also masks their contribution defensively."""
+        g = row_grads.astype(jnp.float32) * valid[:, None]
+        if name == "sgd":
+            new_table = table.at[rows_idx].add((-lr * g).astype(table.dtype),
+                                               mode="drop")
+            return row_state, new_table
+        if name == "adagrad":
+            # elementwise accumulator rows
+            acc_rows = row_state.at[rows_idx].get(mode="fill", fill_value=0.0) + g * g
+            new_state = row_state.at[rows_idx].set(acc_rows, mode="drop")
+            upd = -lr * g / (jnp.sqrt(acc_rows) + eps)
+            new_table = table.at[rows_idx].add(upd.astype(table.dtype), mode="drop")
+            return new_state, new_table
+        # rwsadagrad: scalar accumulator per row = mean over dim of grad^2
+        mom_inc = jnp.mean(g * g, axis=1) * valid
+        mom_rows = row_state.at[rows_idx].get(mode="fill", fill_value=0.0) + mom_inc
+        new_state = row_state.at[rows_idx].set(mom_rows, mode="drop")
+        std = jnp.sqrt(mom_rows) + eps
+        upd = -lr * g / std[:, None]
+        new_table = table.at[rows_idx].add(upd.astype(table.dtype), mode="drop")
+        return new_state, new_table
+
+    return init, dense_update, sparse_row_update
+
+
+# Padding sentinel for row indices: out-of-bounds for every table, so
+# mode="drop" scatters discard it and mode="fill" gathers return the fill.
+# (XLA wraps negative indices in scatters, so -1 must NOT be used.)
+PAD_ROW = jnp.iinfo(jnp.int32).max
+
+
+def dedup_rows(idx: jnp.ndarray, grads: jnp.ndarray, num_unique: int
+               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Coalesce duplicate row indices within a batch (the torch sparse-grad
+    `coalesce()` equivalent, rwsadagrad.py:97) with static shapes.
+
+    idx: [B] row ids, with PAD_ROW marking entries to ignore; grads: [B, D]
+    per-sample row grads.  Returns (unique_idx[num_unique],
+    summed_grads[num_unique, D], valid[num_unique]) — padded entries keep
+    PAD_ROW in unique_idx and have valid==0.
+    """
+    uniq, inv = jnp.unique(idx, return_inverse=True, size=num_unique,
+                           fill_value=PAD_ROW)
+    summed = jax.ops.segment_sum(grads, inv.reshape(-1), num_segments=num_unique)
+    valid = (uniq != PAD_ROW).astype(jnp.float32)
+    return uniq, summed, valid

@@ -1,0 +1,179 @@
+"""Single-device training/eval steps and the training driver.
+
+Reference: the epoch loop of dlrm_s_pytorch.py:1574-1854 (forward, BCE loss,
+backward, optimizer.step, LR policy, periodic eval + checkpoint-on-best and
+per-table EV export).
+
+TPU-first: one jitted `train_step(params, opt_state, batch) -> (params,
+opt_state, loss)` — forward, backward, and the optimizer update fused into a
+single XLA program with donated buffers.  The embedding gradient never
+materializes as a dense [N, D] array: autodiff runs to the *gathered rows*
+only, the per-batch row grads are coalesced by segment-sum (static shapes)
+and scatter-applied to the tables (see train/optim.py), which is how
+rwsAdagrad's sparse path is expressed without torch sparse tensors.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from evstore_tpu.config import DLRMConfig, TrainConfig
+from evstore_tpu.models.dlrm import DLRMParams, dlrm_forward, dlrm_loss
+from evstore_tpu.models.embedding import md_lookup, qr_lookup
+from evstore_tpu.train.metrics import binary_metrics
+from evstore_tpu.train.optim import dedup_rows, lr_schedule, make_optimizer, OptState
+
+
+def _split_sparse(sparse: Dict) -> Tuple[Dict, Dict]:
+    """Split sparse params into plain big tables (row-wise sparse updates) and
+    factorized qr/md params (small by construction; dense-updated)."""
+    plain, fact = {}, {}
+    for name, p in sparse.items():
+        if "kind_plain" in p:
+            plain[name] = p["kind_plain"]
+        else:
+            fact[name] = p
+    return plain, fact
+
+
+def _merge_sparse(plain: Dict, fact: Dict) -> Dict:
+    out = {name: {"kind_plain": t} for name, t in plain.items()}
+    out.update(fact)
+    return out
+
+
+def _rows_for_table(name: str, fact: Dict, plain_rows: Dict, idx_t, cfg):
+    if name in plain_rows:
+        return plain_rows[name]
+    p = fact[name]
+    if "kind_qr" in p:
+        return qr_lookup(p["kind_qr"], idx_t, cfg.qr_collisions, cfg.qr_operation)
+    return md_lookup(p["kind_md"], idx_t)
+
+
+def make_train_step(cfg: DLRMConfig, tcfg: TrainConfig):
+    """Builds the jitted train step.  Returned signature:
+    (params, opt_state, dense_x[B,nd], idx[B,T], labels[B]) ->
+    (params, opt_state, loss).
+    """
+    opt_init, dense_update, sparse_update = make_optimizer(tcfg.optimizer)
+    lr_fn = lr_schedule(tcfg.learning_rate, tcfg.lr_num_warmup_steps,
+                        tcfg.lr_decay_start_step, tcfg.lr_num_decay_steps)
+
+    def train_step(params: DLRMParams, opt_state: OptState,
+                   dense_x, idx, labels):
+        plain, fact = _split_sparse(params.sparse)
+        # gather rows for plain tables (the only autodiff entry point into them)
+        plain_rows = {name: jnp.take(tab, idx[:, int(name.split("_")[1])], axis=0)
+                      for name, tab in plain.items()}
+
+        def loss_fn(dense_params, fact_params, plain_rows_in):
+            rows = [
+                _rows_for_table(f"table_{t}", fact_params, plain_rows_in,
+                                idx[:, t], cfg)
+                for t in range(cfg.num_tables)
+            ]
+            emb = jnp.stack(rows, axis=1)
+            logits = dlrm_forward(DLRMParams(dense_params, params.sparse),
+                                  dense_x, idx, cfg, emb_rows=emb)
+            return dlrm_loss(logits, labels, tcfg.loss_function, tcfg.loss_weights)
+
+        loss, (g_dense, g_fact, g_rows) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2))(params.dense, fact, plain_rows)
+
+        lr = lr_fn(opt_state.step)
+
+        # dense params (MLPs) + factorized tables: dense optimizer branch
+        dense_like = {"mlp": params.dense, "fact": fact}
+        g_dense_like = {"mlp": g_dense, "fact": g_fact}
+        st_dense_like = opt_state.dense if opt_state.dense else {}
+        new_dstate, new_dense_like = dense_update(st_dense_like, dense_like,
+                                                  g_dense_like, lr)
+        new_dense = new_dense_like["mlp"]
+        new_fact = new_dense_like["fact"]
+
+        # plain tables: row-wise sparse updates
+        B = idx.shape[0]
+        new_plain, new_sstate = {}, {}
+        for name, tab in plain.items():
+            t = int(name.split("_")[1])
+            uniq, summed, valid = dedup_rows(idx[:, t], g_rows[name], B)
+            st = opt_state.sparse.get(name) if opt_state.sparse else None
+            new_st, new_tab = sparse_update(st, tab, uniq, summed, valid, lr)
+            new_plain[name] = new_tab
+            if new_st is not None:
+                new_sstate[name] = new_st
+
+        new_params = DLRMParams(dense=new_dense,
+                                sparse=_merge_sparse(new_plain, new_fact))
+        new_opt = OptState(step=opt_state.step + 1, dense=new_dstate,
+                           sparse=new_sstate if new_sstate else opt_state.sparse)
+        return new_params, new_opt, loss
+
+    return train_step
+
+
+def init_opt_state(params: DLRMParams, tcfg: TrainConfig) -> OptState:
+    opt_init, _, _ = make_optimizer(tcfg.optimizer)
+    plain, fact = _split_sparse(params.sparse)
+    # state layout must mirror what make_train_step's update path uses
+    shim = DLRMParams(dense={"mlp": params.dense, "fact": fact}, sparse=plain)
+    st = opt_init(shim)
+    return st
+
+
+def make_eval_step(cfg: DLRMConfig):
+    @jax.jit
+    def eval_step(params: DLRMParams, dense_x, idx):
+        logits = dlrm_forward(params, dense_x, idx, cfg)
+        return jax.nn.sigmoid(logits)
+    return eval_step
+
+
+def evaluate(params: DLRMParams, cfg: DLRMConfig,
+             batches: Iterable, eval_step=None) -> Dict[str, float]:
+    """Run inference over batches and compute the reference's metric block
+    (dlrm_s_pytorch.py:760-866)."""
+    if eval_step is None:
+        eval_step = make_eval_step(cfg)
+    scores, labels = [], []
+    for dense_x, idx, y in batches:
+        s = eval_step(params, jnp.asarray(dense_x), jnp.asarray(idx))
+        scores.append(np.asarray(s))
+        labels.append(np.asarray(y))
+    return binary_metrics(np.concatenate(scores), np.concatenate(labels))
+
+
+def train(params: DLRMParams, cfg: DLRMConfig, tcfg: TrainConfig,
+          train_batches: Iterable, test_batches=None,
+          log_fn=print) -> Tuple[DLRMParams, OptState, Dict]:
+    """Simple epoch driver (the big loop of dlrm_s_pytorch.py:1574-1854).
+    train_batches: iterable of (dense, idx, labels) numpy batches."""
+    step_fn = jax.jit(make_train_step(cfg, tcfg), donate_argnums=(0, 1))
+    opt_state = init_opt_state(params, tcfg)
+    history = {"loss": [], "it_per_s": None}
+    losses = []
+    t0 = time.perf_counter()
+    n = 0
+    for dense_x, idx, y in train_batches:
+        params, opt_state, loss = step_fn(
+            params, opt_state, jnp.asarray(dense_x), jnp.asarray(idx),
+            jnp.asarray(y))
+        n += 1
+        if n % max(tcfg.print_freq, 1) == 0:
+            lv = float(loss)
+            losses.append(lv)
+            log_fn(f"step {n}: loss {lv:.6f}")
+    jax.block_until_ready(params.dense)
+    dt = time.perf_counter() - t0
+    history["loss"] = losses
+    history["it_per_s"] = n / dt if dt > 0 else float("inf")
+    if test_batches is not None:
+        history["eval"] = evaluate(params, cfg, test_batches)
+    return params, opt_state, history

@@ -1,0 +1,306 @@
+"""Embedding storage backends behind the cache tiers.
+
+Reference: emb_storage/ — dummy in-RAM (storage_dummy.py), per-table binary
+file seek+read (file_read.py), mmap (mmap_file_read.py), SQLite single-blob
+table with global rowids (storage_sqlite.py), RocksDB (storage_rocksdb.py;
+no rocksdb in this image — the sqlite/file backends cover the
+beyond-DRAM capability), all behind a facade (storage_manager.py) with a
+cache-bypass path and bulk load.
+
+Binary EV-table format (script/convert_ev_to_binary.py): row-major raw
+values, fp32 rows = dim*4 bytes (144 B at dim 36, storage_rocksdb.py:22);
+quantized tables store 1 B (int8), 2 B (ushort16) or half a byte (int4,
+two codes per byte) per value.
+
+TPU-first addition: every backend supports *batched* gets
+(`get_batch(keys) -> [K, D] fp32`) because the engine fetches per training
+batch, not per request — the reference fetches per 26-key group
+(storage_manager.py:96-123).
+"""
+
+from __future__ import annotations
+
+import mmap as _mmap
+import os
+import sqlite3
+import struct
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from evstore_tpu.ops import quant as qlib
+
+Key = Tuple[int, int]
+
+
+def _decode_rows(buf: np.ndarray, precision: int, dim: int) -> np.ndarray:
+    """Decode raw stored rows [K, bytes/row] -> fp32 [K, dim] using the
+    reference codecs (numpy twins in ops/quant.py — host hot path, no device
+    round-trip)."""
+    if precision == 32:
+        return np.ascontiguousarray(buf).view(np.float32).reshape(-1, dim)
+    if precision == 16:
+        codes = np.ascontiguousarray(buf).view(np.uint16).reshape(-1, dim)
+        return qlib.np_dequantize_ushort(codes)
+    if precision == 8:
+        return qlib.np_dequantize_int8(buf.reshape(-1, dim))
+    if precision == 4:
+        # two codes per byte: high nibble first
+        packed = buf.reshape(-1, (dim + 1) // 2)
+        codes = np.empty((packed.shape[0], 2 * packed.shape[1]), np.uint8)
+        codes[:, 0::2] = (packed >> 4) & 0xF
+        codes[:, 1::2] = packed & 0xF
+        return qlib.np_dequantize_int4(codes[:, :dim])
+    raise ValueError(f"unsupported precision {precision}")
+
+
+def row_nbytes(precision: int, dim: int) -> int:
+    if precision == 32:
+        return dim * 4
+    if precision == 16:
+        return dim * 2
+    if precision == 8:
+        return dim
+    if precision == 4:
+        return (dim + 1) // 2
+    raise ValueError(f"unsupported precision {precision}")
+
+
+def encode_rows(rows: np.ndarray, precision: int) -> np.ndarray:
+    """fp32 [K, dim] -> raw bytes [K, row_nbytes] (the offline
+    reduce_precision + convert_ev_to_binary pipeline)."""
+    rows = np.asarray(rows, np.float32)
+    if precision == 32:
+        return rows.view(np.uint8).reshape(rows.shape[0], -1)
+    if precision == 16:
+        codes = qlib.np_quantize_ushort(rows)
+        return codes.view(np.uint8).reshape(rows.shape[0], -1)
+    if precision == 8:
+        return qlib.np_quantize_int8(rows)
+    if precision == 4:
+        codes = qlib.np_quantize_int4(rows)
+        if codes.shape[1] % 2:
+            codes = np.concatenate(
+                [codes, np.zeros((codes.shape[0], 1), np.uint8)], axis=1)
+        return ((codes[:, 0::2] << 4) | codes[:, 1::2]).astype(np.uint8)
+    raise ValueError(f"unsupported precision {precision}")
+
+
+def write_ev_tables_binary(tables: Sequence[np.ndarray], out_dir: str,
+                           precision: int = 32) -> List[str]:
+    """Write per-table .bin files (the offline pipeline's handoff format,
+    script/convert_ev_to_binary.py:32-56; tables are 1-indexed on disk)."""
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for t, tab in enumerate(tables):
+        p = os.path.join(out_dir, f"ev-table-{t + 1}.bin")
+        encode_rows(np.asarray(tab), precision).tofile(p)
+        paths.append(p)
+    return paths
+
+
+class DummyStore:
+    """All tables in RAM (emb_storage/storage_dummy.py)."""
+
+    def __init__(self, precision: int = 32, dim: int = 36):
+        self.precision = precision
+        self.dim = dim
+        self.tables: List[np.ndarray] = []
+
+    def load_arrays(self, tables: Sequence[np.ndarray]):
+        self.tables = [np.asarray(t, np.float32) for t in tables]
+        self.dim = self.tables[0].shape[1]
+        return self
+
+    def load(self, bin_dir: str, table_sizes: Sequence[int], dim: int):
+        self.dim = dim
+        nb = row_nbytes(self.precision, dim)
+        self.tables = []
+        for t, n in enumerate(table_sizes):
+            raw = np.fromfile(os.path.join(bin_dir, f"ev-table-{t + 1}.bin"),
+                              dtype=np.uint8).reshape(n, nb)
+            self.tables.append(_decode_rows(raw, self.precision, dim))
+        return self
+
+    def get(self, table: int, row: int) -> np.ndarray:
+        return self.tables[table][row]
+
+    def get_batch(self, keys: Sequence[Key]) -> np.ndarray:
+        out = np.empty((len(keys), self.dim), np.float32)
+        for i, (t, r) in enumerate(keys):
+            out[i] = self.tables[t][r]
+        return out
+
+    def close(self):
+        self.tables = []
+
+
+class FileStore:
+    """Per-table .bin seek+read (emb_storage/file_read.py:27-33)."""
+
+    def __init__(self, bin_dir: str, table_sizes: Sequence[int], dim: int,
+                 precision: int = 32):
+        self.dim = dim
+        self.precision = precision
+        self.nb = row_nbytes(precision, dim)
+        self.files = [open(os.path.join(bin_dir, f"ev-table-{t + 1}.bin"),
+                           "rb") for t in range(len(table_sizes))]
+
+    def get(self, table: int, row: int) -> np.ndarray:
+        f = self.files[table]
+        f.seek(row * self.nb)
+        raw = np.frombuffer(f.read(self.nb), np.uint8)
+        return _decode_rows(raw, self.precision, self.dim)[0]
+
+    def get_batch(self, keys: Sequence[Key]) -> np.ndarray:
+        raw = np.empty((len(keys), self.nb), np.uint8)
+        for i, (t, r) in enumerate(keys):
+            f = self.files[t]
+            f.seek(r * self.nb)
+            raw[i] = np.frombuffer(f.read(self.nb), np.uint8)
+        return _decode_rows(raw, self.precision, self.dim)
+
+    def close(self):
+        for f in self.files:
+            f.close()
+        self.files = []
+
+
+class MmapStore:
+    """mmap'd per-table .bin (emb_storage/mmap_file_read.py:32-40)."""
+
+    def __init__(self, bin_dir: str, table_sizes: Sequence[int], dim: int,
+                 precision: int = 32):
+        self.dim = dim
+        self.precision = precision
+        self.nb = row_nbytes(precision, dim)
+        self.maps = []
+        self._files = []
+        for t in range(len(table_sizes)):
+            f = open(os.path.join(bin_dir, f"ev-table-{t + 1}.bin"), "rb")
+            self._files.append(f)
+            self.maps.append(_mmap.mmap(f.fileno(), 0, prot=_mmap.PROT_READ))
+
+    def get(self, table: int, row: int) -> np.ndarray:
+        m = self.maps[table]
+        raw = np.frombuffer(m[row * self.nb:(row + 1) * self.nb], np.uint8)
+        return _decode_rows(raw, self.precision, self.dim)[0]
+
+    def get_batch(self, keys: Sequence[Key]) -> np.ndarray:
+        raw = np.empty((len(keys), self.nb), np.uint8)
+        for i, (t, r) in enumerate(keys):
+            m = self.maps[t]
+            raw[i] = np.frombuffer(m[r * self.nb:(r + 1) * self.nb], np.uint8)
+        return _decode_rows(raw, self.precision, self.dim)
+
+    def close(self):
+        for m in self.maps:
+            m.close()
+        for f in self._files:
+            f.close()
+        self.maps, self._files = [], []
+
+
+class SqliteStore:
+    """Single blob table keyed by global rowid computed from per-table
+    cumulative offsets (emb_storage/storage_sqlite.py:28-39,106-113)."""
+
+    def __init__(self, db_path: str, table_sizes: Sequence[int], dim: int,
+                 precision: int = 32):
+        self.dim = dim
+        self.precision = precision
+        self.nb = row_nbytes(precision, dim)
+        self.offsets = np.concatenate([[0], np.cumsum(table_sizes)])
+        self.db_path = db_path
+        self.conn = sqlite3.connect(db_path)
+
+    def create_and_load(self, bin_dir: str, table_sizes: Sequence[int]):
+        cur = self.conn.cursor()
+        cur.execute("DROP TABLE IF EXISTS tab1")
+        cur.execute("CREATE TABLE tab1 (b BLOB)")
+        for t, n in enumerate(table_sizes):
+            raw = np.fromfile(os.path.join(bin_dir, f"ev-table-{t + 1}.bin"),
+                              dtype=np.uint8).reshape(n, self.nb)
+            cur.executemany("INSERT INTO tab1 (b) VALUES (?)",
+                            ((r.tobytes(),) for r in raw))
+        self.conn.commit()
+        return self
+
+    def _rowid(self, table: int, row: int) -> int:
+        return int(self.offsets[table]) + row + 1  # sqlite rowid is 1-based
+
+    def get(self, table: int, row: int) -> np.ndarray:
+        cur = self.conn.execute("SELECT b FROM tab1 WHERE rowid = ?",
+                                (self._rowid(table, row),))
+        raw = np.frombuffer(cur.fetchone()[0], np.uint8)
+        return _decode_rows(raw, self.precision, self.dim)[0]
+
+    def get_batch(self, keys: Sequence[Key]) -> np.ndarray:
+        rowids = [self._rowid(t, r) for t, r in keys]
+        qmarks = ",".join("?" * len(rowids))
+        cur = self.conn.execute(
+            f"SELECT rowid, b FROM tab1 WHERE rowid IN ({qmarks})", rowids)
+        by_id = {rid: blob for rid, blob in cur.fetchall()}
+        raw = np.stack([np.frombuffer(by_id[rid], np.uint8) for rid in rowids])
+        return _decode_rows(raw, self.precision, self.dim)
+
+    def close(self):
+        self.conn.close()
+
+
+class StorageManager:
+    """Facade over the backends (emb_storage/storage_manager.py): backend
+    selection, bulk load, cache-bypass request path, teardown."""
+
+    BACKENDS = ("dummy", "file", "mmap", "sqlite", "native")
+
+    def __init__(self, backend: str = "dummy", precision: int = 32,
+                 dim: int = 36):
+        if backend not in self.BACKENDS:
+            raise ValueError(f"unknown storage backend {backend!r}; "
+                             f"one of {self.BACKENDS}")
+        self.backend = backend
+        self.precision = precision
+        self.dim = dim
+        self.store = None
+
+    def load(self, *, tables: Optional[Sequence[np.ndarray]] = None,
+             bin_dir: Optional[str] = None,
+             table_sizes: Optional[Sequence[int]] = None,
+             db_path: Optional[str] = None):
+        """Bulk load (storage_manager.load_ev_table_into_emb_stor:141-167)."""
+        if self.backend == "dummy":
+            s = DummyStore(self.precision, self.dim)
+            if tables is not None:
+                s.load_arrays(tables)
+            else:
+                s.load(bin_dir, table_sizes, self.dim)
+        elif self.backend == "file":
+            s = FileStore(bin_dir, table_sizes, self.dim, self.precision)
+        elif self.backend == "mmap":
+            s = MmapStore(bin_dir, table_sizes, self.dim, self.precision)
+        elif self.backend == "sqlite":
+            s = SqliteStore(db_path or os.path.join(bin_dir, "ev-table-all.db"),
+                            table_sizes, self.dim, self.precision)
+            s.create_and_load(bin_dir, table_sizes)
+        else:
+            raise ValueError(f"backend {self.backend} requires the native "
+                             "engine (evstore_tpu.native)")
+        self.store = s
+        return self
+
+    def get(self, table: int, row: int) -> np.ndarray:
+        return self.store.get(table, row)
+
+    def get_batch(self, keys: Sequence[Key]) -> np.ndarray:
+        return self.store.get_batch(keys)
+
+    def request_group(self, group_row_ids: Sequence[int]) -> np.ndarray:
+        """Cache-bypass path (storage_manager.request_to_emb_storage:125-139):
+        fetch one row per table for a request group."""
+        return self.get_batch([(t, int(r)) for t, r in enumerate(group_row_ids)])
+
+    def close(self):
+        if self.store is not None:
+            self.store.close()
+            self.store = None

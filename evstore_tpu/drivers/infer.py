@@ -1,0 +1,117 @@
+"""EVStore inference driver: tiered embedding lookup feeding the TPU model.
+
+Reference: dlrm_s_pytorch_C1{,_C2,_C2_C3}.py — inference-only drivers that
+swap apply_emb for the tiered lookup (apply_emb_evstore,
+dlrm_s_pytorch_C1.py:227), with warm-up pass (:2226-2242), init-overhead /
+ev-lookup-only mode (:2205-2222), per-request latency CDF (:299-330) and
+perfect-hit accounting (:136,2272).
+
+TPU-first structure: the cache engine runs on the host and produces the
+[B, T, D] embedding rows; the jitted model consumes them via the emb_rows
+injection point of dlrm_forward.  Host lookup for batch k+1 overlaps device
+compute for batch k (the device call is async until blocked on).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from evstore_tpu.cache.storage import StorageManager
+from evstore_tpu.cache.tiers import (AltKeyResolver, TieredCache,
+                                     make_cache_from_policy)
+from evstore_tpu.config import CacheConfig, DLRMConfig
+from evstore_tpu.models.dlrm import DLRMParams, dlrm_forward
+from evstore_tpu.train.metrics import binary_metrics
+from evstore_tpu.utils.trace import LatencyRecorder, WorkloadTracer
+
+
+@dataclasses.dataclass
+class InferenceResult:
+    metrics: Dict[str, float]
+    cache_stats: dict
+    latency: dict
+    elapsed_s: float
+    requests: int
+
+
+def build_cache(ccfg: CacheConfig, cfg: DLRMConfig,
+                storage: StorageManager,
+                altkey_resolver: Optional[AltKeyResolver] = None):
+    if ccfg.policy in ("lfu", "lru") and ccfg.n_caching_layers == 1:
+        return make_cache_from_policy(ccfg.policy, ccfg.total_size,
+                                      cfg.num_tables, storage,
+                                      cfg.embedding_dim)
+    return TieredCache(ccfg, storage, cfg.num_tables, cfg.embedding_dim,
+                       altkey_resolver)
+
+
+def run_inference(params: DLRMParams, cfg: DLRMConfig, ccfg: CacheConfig,
+                  batches: Iterable, storage: StorageManager,
+                  altkey_resolver: Optional[AltKeyResolver] = None,
+                  warmup_batches: Optional[Iterable] = None,
+                  ev_lookup_only: bool = False,
+                  trace_dir: Optional[str] = None,
+                  cdf_path: Optional[str] = None,
+                  log_fn=print) -> InferenceResult:
+    """Run tiered-cache inference over `batches` of (dense, idx, labels)."""
+    cache = build_cache(ccfg, cfg, storage, altkey_resolver)
+    import jax.numpy as jnp
+
+    @jax.jit
+    def fwd(p, dense_x, rows, idx):
+        return jax.nn.sigmoid(dlrm_forward(p, dense_x, idx, cfg,
+                                           emb_rows=rows))
+
+    tracer = WorkloadTracer(trace_dir, cfg.num_tables) if trace_dir else None
+    lat = LatencyRecorder()
+
+    # warm-up pass: populate tiers without scoring (reference :2226-2242)
+    if warmup_batches is not None:
+        n = 0
+        for _, idx, _ in warmup_batches:
+            cache.request_batch(np.asarray(idx))
+            n += idx.shape[0]
+        log_fn(f"warm-up done: {n} requests; stats={cache.stats()}")
+
+    scores, labels = [], []
+    t_start = time.perf_counter()
+    n_req = 0
+    for dense_x, idx, y in batches:
+        idx = np.asarray(idx)
+        t0 = time.perf_counter()
+        rows = cache.request_batch(idx)            # host tier lookup
+        if tracer is not None:
+            for b in range(idx.shape[0]):
+                tracer.record(idx[b])
+        if not ev_lookup_only:
+            s = fwd(params, jnp.asarray(dense_x), jnp.asarray(rows),
+                    jnp.asarray(idx))
+            scores.append(np.asarray(s))
+            labels.append(np.asarray(y))
+        # per-request latency: batch time divided across requests (the
+        # reference runs bs=1 so these coincide)
+        dt = time.perf_counter() - t0
+        for _ in range(idx.shape[0]):
+            lat.record(dt / idx.shape[0])
+        n_req += idx.shape[0]
+    elapsed = time.perf_counter() - t_start
+
+    if tracer is not None:
+        tracer.close()
+    if cdf_path is not None:
+        lat.write_cdf(cdf_path)
+
+    metrics = (binary_metrics(np.concatenate(scores), np.concatenate(labels))
+               if scores else {})
+    res = InferenceResult(metrics=metrics, cache_stats=cache.stats(),
+                          latency=lat.summary(), elapsed_s=elapsed,
+                          requests=n_req)
+    log_fn(f"inference: {n_req} requests in {elapsed:.2f}s "
+           f"({n_req / max(elapsed, 1e-9):.0f} req/s); "
+           f"perfect hits = {res.cache_stats.get('perfect_hits')}")
+    return res

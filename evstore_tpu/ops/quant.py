@@ -106,6 +106,52 @@ def dequantize_int4(codes: jnp.ndarray) -> jnp.ndarray:
     return table[codes.astype(jnp.int32)]
 
 
+# ----------------------------------------------- numpy twins (host hot path)
+# The cache/storage layer decodes on the host; these mirror the jnp codecs
+# exactly but avoid any device round-trip.
+
+def np_dequantize_int8(v: np.ndarray) -> np.ndarray:
+    return (v.astype(np.float32) / 254.0) * 2.0 - 1.0
+
+
+def np_quantize_int8(x: np.ndarray) -> np.ndarray:
+    return np.clip(np.round(((x.astype(np.float32) + 1.0) / 2.0) * 254.0),
+                   0, 254).astype(np.uint8)
+
+
+def np_dequantize_ushort(v: np.ndarray) -> np.ndarray:
+    vi = v.astype(np.int32)
+    diff = (vi - 65000).astype(np.float32) / 100.0
+    outlier = np.where(vi % 2 == 1, -(0.65 + diff), 0.65 + diff)
+    dense = (vi.astype(np.float32) / 65000.0) * np.float32(1.3) - np.float32(0.65)
+    return np.where(vi > 65000, outlier, dense).astype(np.float32)
+
+
+def np_quantize_ushort(x: np.ndarray) -> np.ndarray:
+    xf = x.astype(np.float32)
+    dense = ((xf + np.float32(0.65)) / np.float32(1.3) * 65000.0).astype(np.int32)
+    neg_left = (np.float32(-100.0) * (np.float32(0.65) + xf)).astype(np.int32)
+    neg_left = np.where(neg_left % 2 == 0, neg_left + 1, neg_left)
+    pos_left = (np.float32(100.0) * (xf - np.float32(0.65))).astype(np.int32)
+    pos_left = np.where(pos_left % 2 == 1, pos_left - 1, pos_left)
+    out = np.where(xf < np.float32(-0.65), 65000 + neg_left,
+                   np.where(xf > np.float32(0.65), 65000 + pos_left, dense))
+    return np.clip(out, 0, 65535).astype(np.uint16)
+
+
+def np_dequantize_int4(codes: np.ndarray) -> np.ndarray:
+    return _POSIT4_DECODE[codes.astype(np.int32)]
+
+
+def np_quantize_int4(x: np.ndarray) -> np.ndarray:
+    xf = x.astype(np.float32)
+    pos_code = np.argmax(xf[..., None] >= _POS_BRACKETS, axis=-1)
+    neg_code = 8 + np.sum(xf[..., None] < _NEG_BRACKETS, axis=-1)
+    neg_code = np.where(xf >= np.float32(-0.00025), 8, neg_code)
+    code = np.where(xf == 0.0, 7, np.where(xf > 0.0, pos_code, neg_code))
+    return np.clip(code, 0, 14).astype(np.uint8)
+
+
 # ------------------------------------------------------------------ dispatch
 
 def quantize(x: jnp.ndarray, bits: int) -> jnp.ndarray:

@@ -248,10 +248,13 @@ class TieredCache:
         c2_insert = [False] * T
         c1_vals: Dict[int, np.ndarray] = {}
 
+        self.c1.n_lookups += T
+        self.c1.n_requests += 1
         for i, k in enumerate(keys):
             ev = self.c1.vals.get(k)
             if ev is not None:
                 c1_hits[i] = True
+                self.c1.n_hits += 1
                 c1_vals[i] = ev[0]
                 c2_update[i] = False
                 if not c2_hits[i]:
@@ -305,19 +308,19 @@ class TieredCache:
 
         out = np.zeros((T, self.dim), np.float32)
 
-        # C2 phase 2 (evlfu_4 phase_2_get_and_insert_missing_values)
+        # C2 phase 2 (evlfu_4 phase_2_get_and_insert_missing_values):
+        # batched fetch of insert values, applied interleaved with updates in
+        # table order — ordering affects bucket FIFO state and must match the
+        # native engine (and the reference's single in-order loop)
         c2_ins_keys = [keys[i] for i in range(T) if c2_insert[i]]
-        if c2_ins_keys:
-            fetched = self._fetch(c2_ins_keys)
-            enc2 = self._enc(fetched, self.p2)
-            j = 0
-            for i in range(T):
-                if c2_insert[i]:
-                    self.c2.set(keys[i], enc2[j], agg)
-                    out[i] = self._dec(enc2[j], self.p2)
-                    j += 1
+        enc2 = self._enc(self._fetch(c2_ins_keys), self.p2) if c2_ins_keys else []
+        j = 0
         for i in range(T):
-            if c2_update[i]:
+            if c2_insert[i]:
+                self.c2.set(keys[i], enc2[j], agg)
+                out[i] = self._dec(enc2[j], self.p2)
+                j += 1
+            elif c2_update[i]:
                 v = self.c2.update_agg_hit(keys[i], agg)
                 if v is None:
                     v = self._enc(self._fetch([keys[i]]), self.p2)[0]

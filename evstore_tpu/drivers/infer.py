@@ -41,11 +41,25 @@ class InferenceResult:
 
 def build_cache(ccfg: CacheConfig, cfg: DLRMConfig,
                 storage: StorageManager,
-                altkey_resolver: Optional[AltKeyResolver] = None):
+                altkey_resolver: Optional[AltKeyResolver] = None,
+                use_native: bool = False):
     if ccfg.policy in ("lfu", "lru") and ccfg.n_caching_layers == 1:
         return make_cache_from_policy(ccfg.policy, ccfg.total_size,
                                       cfg.num_tables, storage,
                                       cfg.embedding_dim)
+    if use_native:
+        from evstore_tpu.cache.storage import DummyStore
+        from evstore_tpu.native import NativeTieredCache
+        nc = NativeTieredCache(ccfg, cfg.num_tables, cfg.embedding_dim)
+        if isinstance(storage.store, DummyStore):
+            nc.load_tables(storage.store.tables)
+        else:
+            raise ValueError("native engine file mode: use "
+                             "NativeTieredCache.open_table_files directly")
+        if altkey_resolver is not None and ccfg.n_caching_layers >= 3:
+            nc.load_altkeys([t.astype("uint32")
+                             for t in altkey_resolver.tables])
+        return nc
     return TieredCache(ccfg, storage, cfg.num_tables, cfg.embedding_dim,
                        altkey_resolver)
 
@@ -57,9 +71,10 @@ def run_inference(params: DLRMParams, cfg: DLRMConfig, ccfg: CacheConfig,
                   ev_lookup_only: bool = False,
                   trace_dir: Optional[str] = None,
                   cdf_path: Optional[str] = None,
+                  use_native: bool = False,
                   log_fn=print) -> InferenceResult:
     """Run tiered-cache inference over `batches` of (dense, idx, labels)."""
-    cache = build_cache(ccfg, cfg, storage, altkey_resolver)
+    cache = build_cache(ccfg, cfg, storage, altkey_resolver, use_native)
     import jax.numpy as jnp
 
     @jax.jit

@@ -1,0 +1,148 @@
+"""ctypes binding for the native tiered-cache engine.
+
+Reference: cache_algo/cpp_socket_client.py binds the C++ engine per request
+over ctypes (`ev_lookup((c_int*26)) -> float*`, :119-127) or a TCP socket the
+reference itself measures at "50% of latency" (:132).  Here the ABI is
+batched — one call per input batch — so the Python/C boundary cost amortizes
+over B requests, and the returned [B, T, D] block feeds the TPU directly.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+from evstore_tpu.config import CacheConfig
+
+
+def _load_lib():
+    from evstore_tpu.native.build import build
+    path = build(quiet=True)
+    lib = ctypes.CDLL(path)
+    lib.esv_init.restype = ctypes.c_void_p
+    lib.esv_init.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_long, ctypes.c_long, ctypes.c_long,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.c_float,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.esv_load_table_mem.restype = ctypes.c_int
+    lib.esv_load_table_mem.argtypes = [
+        ctypes.c_void_p, ctypes.c_int,
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        ctypes.c_long]
+    lib.esv_open_table_file.restype = ctypes.c_int
+    lib.esv_open_table_file.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_long,
+        ctypes.c_int]
+    lib.esv_load_altkeys.restype = ctypes.c_int
+    lib.esv_load_altkeys.argtypes = [
+        ctypes.c_void_p, ctypes.c_int,
+        np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+        ctypes.c_long]
+    lib.esv_lookup_batch.restype = ctypes.c_long
+    lib.esv_lookup_batch.argtypes = [
+        ctypes.c_void_p,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_long,
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")]
+    lib.esv_stats.argtypes = [ctypes.c_void_p,
+                              np.ctypeslib.ndpointer(np.float64)]
+    lib.esv_close.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+_LIB = None
+
+
+def get_lib():
+    global _LIB
+    if _LIB is None:
+        _LIB = _load_lib()
+    return _LIB
+
+
+_EVICTION = {"fifo": 1, "recency": 2}  # aprx_embedding.hpp:32
+
+
+class NativeTieredCache:
+    """Drop-in for cache.tiers.TieredCache backed by the C++ engine."""
+
+    def __init__(self, cfg: CacheConfig, n_tables: int, dim: int,
+                 n_reader_threads: int = 4):
+        self.cfg = cfg
+        self.n_tables = n_tables
+        self.dim = dim
+        lib = get_lib()
+        c1, c2, c3 = cfg.tier_capacities()
+        self._h = lib.esv_init(
+            n_tables, dim, cfg.n_caching_layers, c1, c2, c3,
+            cfg.main_precision, cfg.secondary_precision,
+            cfg.flush_rate, cfg.perfect_item_cap,
+            cfg.high_agghit_threshold, _EVICTION[cfg.c3_eviction],
+            cfg.c3_io_batch, n_reader_threads)
+        self._lib = lib
+
+    def load_tables(self, tables: Sequence[np.ndarray]):
+        for t, tab in enumerate(tables):
+            tab = np.ascontiguousarray(tab, np.float32)
+            rc = self._lib.esv_load_table_mem(self._h, t, tab, tab.shape[0])
+            if rc != 0:
+                raise RuntimeError(f"esv_load_table_mem({t}) -> {rc}")
+        return self
+
+    def open_table_files(self, bin_dir: str, table_sizes: Sequence[int],
+                         precision: int = 32):
+        for t, n in enumerate(table_sizes):
+            p = os.path.join(bin_dir, f"ev-table-{t + 1}.bin").encode()
+            rc = self._lib.esv_open_table_file(self._h, t, p, n, precision)
+            if rc != 0:
+                raise RuntimeError(f"esv_open_table_file({t}) -> {rc}")
+        return self
+
+    def load_altkeys(self, alt_tables: Sequence[np.ndarray]):
+        for t, alts in enumerate(alt_tables):
+            alts = np.ascontiguousarray(alts, np.uint32)
+            rc = self._lib.esv_load_altkeys(self._h, t, alts, alts.shape[0])
+            if rc != 0:
+                raise RuntimeError(f"esv_load_altkeys({t}) -> {rc}")
+        return self
+
+    def request_batch(self, idx: np.ndarray) -> np.ndarray:
+        idx = np.ascontiguousarray(idx, np.int64)
+        B = idx.shape[0]
+        out = np.empty((B, self.n_tables, self.dim), np.float32)
+        self._lib.esv_lookup_batch(self._h, idx, B, out)
+        return out
+
+    def request(self, group_row_ids):
+        idx = np.asarray(group_row_ids, np.int64)[None, :]
+        out = self.request_batch(idx)
+        return out[0], None, None
+
+    def stats(self) -> dict:
+        s = np.zeros(8, np.float64)
+        self._lib.esv_stats(self._h, s)
+        out = {
+            "requests": int(s[0]), "perfect_hits": int(s[1]),
+            "c1": {"size": int(s[2]), "hit_rate": float(s[3])},
+        }
+        if self.cfg.n_caching_layers >= 2:
+            out["c2"] = {"size": int(s[4]), "hit_rate": float(s[5])}
+        if self.cfg.n_caching_layers >= 3:
+            out["c3"] = {"size": int(s[6]), "hits": int(s[7])}
+        return out
+
+    def close(self):
+        if self._h is not None:
+            self._lib.esv_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -1,0 +1,788 @@
+// evstore_core: native host-side tiered embedding cache engine.
+//
+// TPU-native counterpart of the reference's mixed_precs_caching/ C++ engine
+// (cache_manager.cpp + evlfu_{4,8,16,32}.cpp + aprx_embedding.cpp), with the
+// same tier protocol but a different architecture:
+//  - one engine, runtime-configured (the reference hardcodes tiers/precisions
+//    as compile-time #defines, cache_manager.cpp:13-20, and instantiates one
+//    of four near-identical EVLFU_xBIT classes)
+//  - a BATCHED C ABI (lookup of B request groups per call) feeding the TPU
+//    input pipeline, instead of a per-request ctypes call / epoll socket
+//    server (cache_manager.cpp:231-237, :292-385)
+//  - batch-level miss prefetch across a pthread reader pool (the reference
+//    reads at most one group's misses at a time on 3 threads,
+//    evlfu_8.cpp:191-250)
+//  - O(1) bucket membership via intrusive doubly-linked lists (the
+//    reference's Python lists / unordered_set buckets)
+//
+// Tier protocol parity notes are cited inline. Build: see build.py
+// (g++ -O3 -shared -fPIC -pthread).
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <deque>
+#include <fcntl.h>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <unistd.h>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+// ----------------------------------------------------------------- codecs
+// Parity with script/reduce_precision.py (see ops/quant.py for the jnp twins).
+
+inline float dec8(uint8_t v) { return (float(v) / 254.0f) * 2.0f - 1.0f; }
+inline uint8_t enc8(float x) {
+  float v = roundf(((x + 1.0f) / 2.0f) * 254.0f);
+  if (v < 0) v = 0; if (v > 254) v = 254;
+  return (uint8_t)v;
+}
+
+inline float dec16(uint16_t v) {
+  if (v > 65000) {
+    float diff = float(v - 65000) / 100.0f;
+    return (v % 2 == 1) ? -(0.65f + diff) : (0.65f + diff);
+  }
+  return (float(v) / 65000.0f) * 1.3f - 0.65f;
+}
+inline uint16_t enc16(float x) {
+  if (x < -0.65f) {
+    int left = int(-100.0f * (0.65f + x));
+    if (left % 2 == 0) left += 1;
+    int out = 65000 + left;
+    return (uint16_t)(out > 65535 ? 65535 : out);
+  } else if (x > 0.65f) {
+    int left = int(100.0f * (x - 0.65f));
+    if (left % 2 == 1) left -= 1;
+    int out = 65000 + left;
+    return (uint16_t)(out > 65535 ? 65535 : out);
+  }
+  int out = int((x + 0.65f) / 1.3f * 65000.0f);
+  if (out < 0) out = 0; if (out > 65000) out = 65000;
+  return (uint16_t)out;
+}
+
+static const float kPosit4Dec[16] = {
+    1.0f, 0.8f, 0.6f, 0.4f, 0.0625f, 0.00390625f, 0.0000153f, 0.0f,
+    -0.0000153f, -0.00390625f, -0.0625f, -0.4f, -0.6f, -0.8f, -1.0f, -1.0f};
+static const float kPosBr[7] = {0.8f, 0.6f, 0.4f, 0.25f, 0.015f, 0.00025f, 0.0f};
+static const float kNegBr[7] = {-1.0f, -0.8f, -0.6f, -0.4f, -0.25f, -0.015f, -0.00025f};
+
+inline uint8_t enc4(float x) {
+  if (x == 0.0f) return 7;
+  if (x > 0.0f) {
+    for (int i = 0; i < 7; i++) if (x >= kPosBr[i]) return (uint8_t)i;
+    return 6;
+  }
+  if (x >= kNegBr[6]) return 8;
+  // 8 + count(x < bracket) over the 7 negative brackets (== the reference's
+  // descending bracket walk, reduce_precision.py:158-172)
+  int cnt = 0;
+  for (int i = 0; i < 7; i++) if (x < kNegBr[i]) cnt++;
+  int code = 8 + cnt;
+  return (uint8_t)(code > 14 ? 14 : code);
+}
+
+inline int row_nbytes(int precision, int dim) {
+  switch (precision) {
+    case 32: return dim * 4;
+    case 16: return dim * 2;
+    case 8: return dim;
+    case 4: return (dim + 1) / 2;
+  }
+  return -1;
+}
+
+void encode_row(const float* src, uint8_t* dst, int precision, int dim) {
+  switch (precision) {
+    case 32: memcpy(dst, src, dim * 4); break;
+    case 16: {
+      uint16_t* d = (uint16_t*)dst;
+      for (int i = 0; i < dim; i++) d[i] = enc16(src[i]);
+      break;
+    }
+    case 8:
+      for (int i = 0; i < dim; i++) dst[i] = enc8(src[i]);
+      break;
+    case 4: {
+      int nb = (dim + 1) / 2;
+      for (int i = 0; i < nb; i++) {
+        uint8_t hi = enc4(src[2 * i]);
+        uint8_t lo = (2 * i + 1 < dim) ? enc4(src[2 * i + 1]) : 0;
+        dst[i] = (uint8_t)((hi << 4) | lo);
+      }
+      break;
+    }
+  }
+}
+
+void decode_row(const uint8_t* src, float* dst, int precision, int dim) {
+  switch (precision) {
+    case 32: memcpy(dst, src, dim * 4); break;
+    case 16: {
+      const uint16_t* s = (const uint16_t*)src;
+      for (int i = 0; i < dim; i++) dst[i] = dec16(s[i]);
+      break;
+    }
+    case 8:
+      for (int i = 0; i < dim; i++) dst[i] = dec8(src[i]);
+      break;
+    case 4:
+      for (int i = 0; i < dim; i++) {
+        uint8_t b = src[i / 2];
+        uint8_t code = (i % 2 == 0) ? (b >> 4) : (b & 0xF);
+        dst[i] = kPosit4Dec[code];
+      }
+      break;
+  }
+}
+
+// ------------------------------------------------------------ EvLFU tier
+
+inline uint64_t make_key(int table, int64_t row) {
+  return (uint64_t(uint32_t(table)) << 40) | uint64_t(row);
+}
+
+struct Entry {
+  uint64_t key;
+  int agg;
+  Entry* prev = nullptr;
+  Entry* next = nullptr;
+  // encoded value bytes follow the struct (flexible allocation)
+  uint8_t value[];
+};
+
+struct Bucket {
+  Entry* head = nullptr;
+  Entry* tail = nullptr;
+  size_t size = 0;
+  void push_back(Entry* e) {
+    e->prev = tail; e->next = nullptr;
+    if (tail) tail->next = e; else head = e;
+    tail = e; size++;
+  }
+  Entry* pop_front() {
+    Entry* e = head;
+    if (!e) return nullptr;
+    head = e->next;
+    if (head) head->prev = nullptr; else tail = nullptr;
+    size--;
+    return e;
+  }
+  void remove(Entry* e) {
+    if (e->prev) e->prev->next = e->next; else head = e->next;
+    if (e->next) e->next->prev = e->prev; else tail = e->prev;
+    size--;
+  }
+};
+
+class EvLFUTier {
+ public:
+  EvLFUTier(size_t cap, int n_tables, float flush_rate, float perfect_cap,
+            int precision, int dim)
+      : cap_(cap), n_tables_(n_tables), flush_rate_(flush_rate),
+        precision_(precision), dim_(dim),
+        nb_(row_nbytes(precision, dim)),
+        buckets_(n_tables + 1) {
+    max_perfect_ = (size_t)(cap * perfect_cap);
+    map_.reserve(cap * 2 + 16);
+  }
+  ~EvLFUTier() {
+    for (auto& kv : map_) free(kv.second);
+  }
+
+  size_t size() const { return map_.size(); }
+  size_t cap() const { return cap_; }
+  int nb() const { return nb_; }
+  int precision() const { return precision_; }
+
+  Entry* find(uint64_t k) {
+    auto it = map_.find(k);
+    return it == map_.end() ? nullptr : it->second;
+  }
+
+  // EvLFU_C1.py:32-63 / evlfu_8.cpp setKey:252-300
+  void set(uint64_t k, const uint8_t* val, int agg,
+           std::vector<uint64_t>* evicted) {
+    if (n_perfect_ >= max_perfect_ && max_perfect_ > 0) {
+      size_t n_evict = (size_t)(flush_rate_ * cap_) + 1;
+      Bucket& pb = buckets_[n_tables_];
+      for (size_t i = 0; i < n_evict && pb.size > 0; i++) {
+        Entry* e = pb.pop_front();
+        if (evicted) evicted->push_back(e->key);
+        map_.erase(e->key);
+        free(e);
+      }
+      n_perfect_ = pb.size;
+    } else if (map_.size() >= cap_) {
+      while (buckets_[min_agg_].size == 0) {
+        min_agg_++;
+        if (min_agg_ > n_tables_) min_agg_ = 1;  // wrap (EvLFU_C1.py:52-54)
+      }
+      Entry* e = buckets_[min_agg_].pop_front();
+      if (evicted) evicted->push_back(e->key);
+      map_.erase(e->key);
+      free(e);
+    }
+    Entry* e = (Entry*)malloc(sizeof(Entry) + nb_);
+    e->key = k; e->agg = agg;
+    memcpy(e->value, val, nb_);
+    buckets_[agg].push_back(e);
+    map_[k] = e;
+    if (agg < min_agg_) min_agg_ = agg;
+  }
+
+  // EvLFU_C1.py:65-78 — promote on hit (monotone)
+  const uint8_t* update_agg(uint64_t k, int agg) {
+    Entry* e = find(k);
+    if (!e) return nullptr;
+    if (e->agg < agg) {
+      buckets_[e->agg].remove(e);
+      buckets_[agg].push_back(e);
+      e->agg = agg;
+    }
+    return e->value;
+  }
+
+  void note_perfect() { n_perfect_ = buckets_[n_tables_].size; }
+
+  // stats
+  uint64_t n_hits = 0, n_lookups = 0;
+
+ private:
+  size_t cap_;
+  int n_tables_;
+  float flush_rate_;
+  int precision_, dim_, nb_;
+  size_t max_perfect_ = 0, n_perfect_ = 0;
+  int min_agg_ = 0;
+  std::unordered_map<uint64_t, Entry*> map_;
+  std::vector<Bucket> buckets_;
+};
+
+// ---------------------------------------------------------------- C3 tier
+
+class AltKeyTier {  // aprx_embedding.cpp
+ public:
+  AltKeyTier(size_t cap, int eviction) : cap_(cap), eviction_(eviction) {}
+
+  bool get(uint64_t k, uint32_t* alt) {
+    auto it = map_.find(k);
+    if (it == map_.end()) return false;
+    *alt = it->second.alt;
+    return true;
+  }
+  void set_recency(uint64_t k) {
+    auto it = map_.find(k);
+    if (it != map_.end()) it->second.recency = true;
+  }
+  void insert(uint64_t k, uint32_t alt) {
+    auto it = map_.find(k);
+    if (it != map_.end()) { it->second.alt = alt; return; }
+    while (map_.size() >= cap_ && cap_ > 0) evict_one();
+    map_[k] = {alt, false};
+    fifo_.push_back(k);
+  }
+  size_t size() const { return map_.size(); }
+
+ private:
+  void evict_one() {  // FIFO or second-chance (aprx_embedding.cpp:360-388)
+    while (!fifo_.empty()) {
+      uint64_t k = fifo_.front();
+      fifo_.pop_front();
+      auto it = map_.find(k);
+      if (it == map_.end()) continue;  // stale fifo entry
+      if (eviction_ == 2 && it->second.recency) {
+        it->second.recency = false;
+        fifo_.push_back(k);            // second chance
+        continue;
+      }
+      map_.erase(it);
+      return;
+    }
+  }
+  struct V { uint32_t alt; bool recency; };
+  size_t cap_;
+  int eviction_;
+  std::unordered_map<uint64_t, V> map_;
+  std::deque<uint64_t> fifo_;
+};
+
+// ------------------------------------------------------------- reader pool
+
+struct ReadJob {
+  int table;
+  int64_t row;
+  float* dst;  // dim floats
+};
+
+class Storage {
+ public:
+  int dim = 0;
+  int file_precision = 32;
+  // in-memory mode
+  std::vector<std::vector<float>> mem_tables;
+  // file mode
+  std::vector<int> fds;
+  std::vector<int64_t> table_rows;
+  bool file_mode = false;
+
+  bool fetch(int table, int64_t row, float* dst) const {
+    if (!file_mode) {
+      const auto& t = mem_tables[table];
+      if ((size_t)((row + 1) * dim) > t.size()) return false;
+      memcpy(dst, t.data() + row * dim, dim * 4);
+      return true;
+    }
+    int nb = row_nbytes(file_precision, dim);
+    uint8_t buf[1024];
+    ssize_t got = pread(fds[table], buf, nb, (off_t)row * nb);
+    if (got != nb) return false;
+    decode_row(buf, dst, file_precision, dim);
+    return true;
+  }
+};
+
+class ReaderPool {  // evlfu_8.cpp:191-250 equivalent, mutex+condvar based
+ public:
+  void start(int n, const Storage* st) {
+    storage_ = st;
+    stop_ = false;
+    for (int i = 0; i < n; i++)
+      threads_.emplace_back([this] { loop(); });
+  }
+  void shutdown() {
+    {
+      std::unique_lock<std::mutex> lk(mu_);
+      stop_ = true;
+    }
+    cv_.notify_all();
+    for (auto& t : threads_) t.join();
+    threads_.clear();
+  }
+  // submit jobs and wait for all of them
+  void run(std::vector<ReadJob>& jobs) {
+    if (jobs.empty()) return;
+    if (threads_.empty()) {  // no pool: synchronous
+      for (auto& j : jobs) storage_->fetch(j.table, j.row, j.dst);
+      return;
+    }
+    {
+      std::unique_lock<std::mutex> lk(mu_);
+      outstanding_ += jobs.size();
+      for (auto& j : jobs) queue_.push_back(j);
+    }
+    cv_.notify_all();
+    std::unique_lock<std::mutex> lk(mu_);
+    done_cv_.wait(lk, [this] { return outstanding_ == 0; });
+  }
+
+ private:
+  void loop() {
+    for (;;) {
+      ReadJob j;
+      {
+        std::unique_lock<std::mutex> lk(mu_);
+        cv_.wait(lk, [this] { return stop_ || !queue_.empty(); });
+        if (stop_ && queue_.empty()) return;
+        j = queue_.front();
+        queue_.pop_front();
+      }
+      storage_->fetch(j.table, j.row, j.dst);
+      {
+        std::unique_lock<std::mutex> lk(mu_);
+        if (--outstanding_ == 0) done_cv_.notify_all();
+      }
+    }
+  }
+  const Storage* storage_ = nullptr;
+  std::vector<std::thread> threads_;
+  std::deque<ReadJob> queue_;
+  std::mutex mu_;
+  std::condition_variable cv_, done_cv_;
+  size_t outstanding_ = 0;
+  bool stop_ = false;
+};
+
+// ----------------------------------------------------------------- engine
+
+struct Engine {
+  int n_tables, dim, n_layers;
+  int high_agg_threshold;
+  EvLFUTier* c1 = nullptr;
+  EvLFUTier* c2 = nullptr;
+  AltKeyTier* c3 = nullptr;
+  Storage storage;
+  ReaderPool pool;
+  // alt-key source: per-table arrays (offline kNN product)
+  std::vector<std::vector<uint32_t>> altkeys;
+  // C3 batched insertion queue (aprx_embedding.hpp:30)
+  std::vector<uint64_t> c3_pending;
+  int c3_io_batch = 50;
+  // stats (cache_manager.cpp:262-290)
+  uint64_t n_requests = 0, n_perfect = 0, c3_hits = 0;
+
+  ~Engine() {
+    pool.shutdown();
+    delete c1; delete c2; delete c3;
+    for (int fd : storage.fds) close(fd);
+  }
+
+  void drain_to_c3(std::vector<uint64_t>& evicted) {
+    if (!c3 || altkeys.empty()) { evicted.clear(); return; }
+    for (uint64_t k : evicted) c3_pending.push_back(k);
+    evicted.clear();
+    while ((int)c3_pending.size() >= c3_io_batch) {
+      size_t n = c3_io_batch;
+      for (size_t i = 0; i < n; i++) {
+        uint64_t k = c3_pending[i];
+        int t = (int)(k >> 40);
+        int64_t r = (int64_t)(k & ((1ull << 40) - 1));
+        if (t < (int)altkeys.size() && r < (int64_t)altkeys[t].size())
+          c3->insert(k, altkeys[t][r]);
+      }
+      c3_pending.erase(c3_pending.begin(), c3_pending.begin() + n);
+    }
+  }
+
+  // single-tier path (EvLFU_C1.request_to_ev_lfu / evlfu request_to_ev_lfu)
+  int request_c1(const int64_t* rows, float* out,
+                 std::vector<float>& prefetched, const int* pre_idx) {
+    int T = n_tables;
+    std::vector<uint64_t> keys(T);
+    std::vector<const uint8_t*> hit_vals(T, nullptr);
+    int agg = 0;
+    c1->n_lookups += T;
+    for (int i = 0; i < T; i++) {
+      keys[i] = make_key(i, rows[i]);
+      Entry* e = c1->find(keys[i]);
+      if (e) { hit_vals[i] = e->value; agg++; c1->n_hits++; }
+    }
+    std::vector<uint64_t> evicted;
+    std::vector<uint8_t> enc(c1->nb());
+    std::vector<float> tmp(dim);
+    for (int i = 0; i < T; i++) {
+      float* dst = out + i * dim;
+      if (hit_vals[i]) {
+        const uint8_t* v = c1->update_agg(keys[i], agg);
+        if (v) { decode_row(v, dst, c1->precision(), dim); continue; }
+        // evicted mid-group: refetch synchronously (EvLFU_C1.py:88-95)
+        storage.fetch(i, rows[i], tmp.data());
+        encode_row(tmp.data(), enc.data(), c1->precision(), dim);
+        c1->set(keys[i], enc.data(), agg, &evicted);
+        decode_row(enc.data(), dst, c1->precision(), dim);
+      } else {
+        const float* src = (pre_idx && pre_idx[i] >= 0)
+                               ? &prefetched[pre_idx[i] * dim] : nullptr;
+        if (src == nullptr) {
+          storage.fetch(i, rows[i], tmp.data());
+          src = tmp.data();
+        }
+        encode_row(src, enc.data(), c1->precision(), dim);
+        c1->set(keys[i], enc.data(), agg, &evicted);
+        decode_row(enc.data(), dst, c1->precision(), dim);
+      }
+    }
+    drain_to_c3(evicted);
+    if (agg == T) { c1->note_perfect(); return 1; }
+    return 0;
+  }
+
+  // tiered path (evlfu_8.cpp request_to_c1_c2:669-796 / c1_c2_c3:492-667)
+  int request_tiered(const int64_t* rows, float* out,
+                     std::vector<float>& prefetched, const int* pre_idx) {
+    int T = n_tables;
+    std::vector<uint64_t> keys(T);
+    std::vector<bool> c1_hit(T, false), c2_hit(T, false);
+    std::vector<bool> c2_update(T, true), c2_insert(T, false);
+    std::vector<int> c3_val_idx(T, -1);
+    std::vector<float> c3_vals;
+
+    for (int i = 0; i < T; i++) keys[i] = make_key(i, rows[i]);
+
+    // C2 phase 1 probe (no promote)
+    int c2_agg = 0;
+    if (c2) {
+      c2->n_lookups += T;
+      for (int i = 0; i < T; i++) {
+        if (c2->find(keys[i])) { c2_hit[i] = true; c2_agg++; c2->n_hits++; }
+      }
+    }
+    int agg = c2_agg;
+    int c1_agg = 0;
+    c1->n_lookups += T;
+    for (int i = 0; i < T; i++) {
+      Entry* e = c1->find(keys[i]);
+      if (e) {
+        c1_hit[i] = true; c1_agg++; c1->n_hits++;
+        c2_update[i] = false;
+        if (!c2_hit[i]) agg++;
+      } else if (!c2_hit[i]) {
+        // double miss -> C3 alt-key probe (evlfu_8.cpp:531-556)
+        bool served = false;
+        if (c3) {
+          uint32_t alt;
+          if (c3->get(keys[i], &alt)) {
+            int at = (int)(alt % 100) - 1;           // altkey_decode
+            int64_t ar = (int64_t)(alt / 100);
+            uint64_t ak = make_key(at, ar);
+            Entry* ae = c1->find(ak);
+            const uint8_t* av = nullptr;
+            int ap = 0;
+            if (ae) { av = ae->value; ap = c1->precision(); }
+            else if (c2) {
+              Entry* ae2 = c2->find(ak);
+              if (ae2) { av = ae2->value; ap = c2->precision(); }
+            }
+            if (av) {
+              c3->set_recency(keys[i]);
+              c3_hits++;
+              agg++;
+              c1_hit[i] = true;                      // piggyback marker
+              c3_val_idx[i] = (int)(c3_vals.size() / dim);
+              c3_vals.resize(c3_vals.size() + dim);
+              decode_row(av, &c3_vals[c3_val_idx[i] * dim], ap, dim);
+              c2_insert[i] = false;
+              c2_update[i] = false;
+              served = true;
+            }
+          }
+        }
+        if (!served) { c2_insert[i] = true; c2_update[i] = false; }
+      }
+    }
+
+    std::vector<int> c1_fetch;
+    bool c1_full = c1->size() >= c1->cap();
+    if (c1_full) {
+      if (agg < high_agg_threshold) {
+        // 50/50 split of double-misses by parity (evlfu_8.cpp:570-588)
+        for (int i = 0; i < T; i++) {
+          if (!c2_hit[i] && !c1_hit[i]) {
+            c2_update[i] = false;
+            if (i % 2 == 1) { c1_fetch.push_back(i); c2_insert[i] = false; }
+          }
+        }
+      }
+    } else {
+      // not full: C1 takes every true miss; C2 stands down
+      for (int i = 0; i < T; i++) if (!c1_hit[i]) c1_fetch.push_back(i);
+      std::fill(c2_insert.begin(), c2_insert.end(), false);
+      std::fill(c2_update.begin(), c2_update.end(), false);
+      agg = 0;
+      for (int i = 0; i < T; i++)
+        if (c1_hit[i] && c3_val_idx[i] < 0) agg++;
+    }
+
+    std::vector<uint64_t> evicted;
+    std::vector<float> tmp(dim);
+    std::vector<uint8_t> enc(std::max(c1->nb(), c2 ? c2->nb() : 0));
+
+    auto fetch_row = [&](int i) -> const float* {
+      if (pre_idx && pre_idx[i] >= 0) return &prefetched[pre_idx[i] * dim];
+      storage.fetch(i, rows[i], tmp.data());
+      return tmp.data();
+    };
+
+    // C2 phase 2
+    if (c2) {
+      for (int i = 0; i < T; i++) {
+        if (c2_insert[i]) {
+          const float* src = fetch_row(i);
+          encode_row(src, enc.data(), c2->precision(), dim);
+          c2->set(keys[i], enc.data(), agg, &evicted);
+          decode_row(enc.data(), out + i * dim, c2->precision(), dim);
+        } else if (c2_update[i]) {
+          const uint8_t* v = c2->update_agg(keys[i], agg);
+          if (!v) {
+            const float* src = fetch_row(i);
+            encode_row(src, enc.data(), c2->precision(), dim);
+            c2->set(keys[i], enc.data(), agg, &evicted);
+            decode_row(enc.data(), out + i * dim, c2->precision(), dim);
+          } else {
+            decode_row(v, out + i * dim, c2->precision(), dim);
+          }
+        }
+      }
+      drain_to_c3(evicted);
+    }
+
+    // C1 fetch + merge
+    for (int i : c1_fetch) {
+      const float* src = fetch_row(i);
+      encode_row(src, enc.data(), c1->precision(), dim);
+      c1->set(keys[i], enc.data(), agg, &evicted);
+      decode_row(enc.data(), out + i * dim, c1->precision(), dim);
+    }
+    for (int i = 0; i < T; i++) {
+      if (c1_hit[i]) {
+        if (c3_val_idx[i] >= 0) {
+          memcpy(out + i * dim, &c3_vals[c3_val_idx[i] * dim], dim * 4);
+        } else {
+          // re-find instead of using the probe-time pointer: an eviction in
+          // the fetch loop above may have freed it (the dangling-pointer
+          // hazard the reference flags at evlfu_8.cpp:521)
+          const uint8_t* v = c1->update_agg(keys[i], agg);
+          if (v) {
+            decode_row(v, out + i * dim, c1->precision(), dim);
+          } else {
+            // round-trip through C1's precision so the served row matches
+            // what the (now evicted) cached copy held
+            const float* src = fetch_row(i);
+            encode_row(src, enc.data(), c1->precision(), dim);
+            decode_row(enc.data(), out + i * dim, c1->precision(), dim);
+          }
+        }
+      }
+    }
+    drain_to_c3(evicted);
+
+    if (agg == T) { c1->note_perfect(); return 1; }
+    return 0;
+  }
+};
+
+}  // namespace
+
+// ------------------------------------------------------------------ C ABI
+
+extern "C" {
+
+void* esv_init(int n_tables, int dim, int n_layers,
+               long c1_cap, long c2_cap, long c3_cap,
+               int main_precision, int secondary_precision,
+               float flush_rate, float perfect_cap,
+               int high_agg_threshold, int c3_eviction, int c3_io_batch,
+               int n_reader_threads) {
+  Engine* e = new Engine();
+  e->n_tables = n_tables;
+  e->dim = dim;
+  e->n_layers = n_layers;
+  e->high_agg_threshold = high_agg_threshold;
+  e->c3_io_batch = c3_io_batch;
+  e->c1 = new EvLFUTier((size_t)c1_cap, n_tables, flush_rate, perfect_cap,
+                        main_precision, dim);
+  if (n_layers >= 2)
+    e->c2 = new EvLFUTier((size_t)c2_cap, n_tables, flush_rate, perfect_cap,
+                          secondary_precision, dim);
+  if (n_layers >= 3) e->c3 = new AltKeyTier((size_t)c3_cap, c3_eviction);
+  e->storage.dim = dim;
+  if (n_reader_threads > 0) e->pool.start(n_reader_threads, &e->storage);
+  return e;
+}
+
+// in-memory backing store: one call per table with its fp32 rows
+int esv_load_table_mem(void* h, int table, const float* data, long n_rows) {
+  Engine* e = (Engine*)h;
+  if (table >= e->n_tables) return -1;
+  if ((int)e->storage.mem_tables.size() < e->n_tables)
+    e->storage.mem_tables.resize(e->n_tables);
+  e->storage.mem_tables[table].assign(data, data + n_rows * e->dim);
+  e->storage.file_mode = false;
+  return 0;
+}
+
+// file-backed store: per-table binary files at `precision`
+int esv_open_table_file(void* h, int table, const char* path, long n_rows,
+                        int precision) {
+  Engine* e = (Engine*)h;
+  if (table >= e->n_tables) return -1;
+  if ((int)e->storage.fds.size() < e->n_tables) {
+    e->storage.fds.resize(e->n_tables, -1);
+    e->storage.table_rows.resize(e->n_tables, 0);
+  }
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return -2;
+  e->storage.fds[table] = fd;
+  e->storage.table_rows[table] = n_rows;
+  e->storage.file_precision = precision;
+  e->storage.file_mode = true;
+  return 0;
+}
+
+int esv_load_altkeys(void* h, int table, const uint32_t* alts, long n_rows) {
+  Engine* e = (Engine*)h;
+  if (table >= e->n_tables) return -1;
+  if ((int)e->altkeys.size() < e->n_tables) e->altkeys.resize(e->n_tables);
+  e->altkeys[table].assign(alts, alts + n_rows);
+  return 0;
+}
+
+// The batched entry point: idx is [B, n_tables] int64 row ids; out is
+// [B, n_tables, dim] fp32.  Returns the number of perfect hits in the batch.
+long esv_lookup_batch(void* h, const int64_t* idx, long B, float* out) {
+  Engine* e = (Engine*)h;
+  int T = e->n_tables, D = e->dim;
+
+  // batch-level miss prefetch: collect keys absent from all tiers and bulk
+  // read them on the pool.  A key inserted/evicted mid-batch falls back to a
+  // synchronous read — policy semantics are unchanged.
+  std::unordered_map<uint64_t, int> pre_map;
+  std::vector<ReadJob> jobs;
+  std::vector<float> pre_buf;
+  for (long b = 0; b < B; b++) {
+    for (int i = 0; i < T; i++) {
+      uint64_t k = make_key(i, idx[b * T + i]);
+      if (pre_map.count(k)) continue;
+      if (e->c1->find(k)) continue;
+      if (e->c2 && e->c2->find(k)) continue;
+      int slot = (int)pre_map.size();
+      pre_map[k] = slot;
+      jobs.push_back({i, idx[b * T + i], nullptr});
+    }
+  }
+  pre_buf.resize(pre_map.size() * (size_t)D);
+  for (size_t j = 0; j < jobs.size(); j++) {
+    uint64_t k = make_key(jobs[j].table, jobs[j].row);
+    jobs[j].dst = &pre_buf[pre_map[k] * (size_t)D];
+  }
+  e->pool.run(jobs);
+
+  long perfect = 0;
+  std::vector<int> pre_idx(T);
+  std::vector<int64_t> rows(T);
+  for (long b = 0; b < B; b++) {
+    for (int i = 0; i < T; i++) {
+      rows[i] = idx[b * T + i];
+      auto it = pre_map.find(make_key(i, rows[i]));
+      pre_idx[i] = (it == pre_map.end()) ? -1 : it->second;
+    }
+    e->n_requests++;
+    int p;
+    if (e->n_layers == 1)
+      p = e->request_c1(rows.data(), out + b * T * D, pre_buf, pre_idx.data());
+    else
+      p = e->request_tiered(rows.data(), out + b * T * D, pre_buf,
+                            pre_idx.data());
+    if (p) { perfect++; e->n_perfect++; }
+  }
+  return perfect;
+}
+
+// stats: [requests, perfect, c1_size, c1_hit_rate, c2_size, c2_hit_rate,
+//         c3_size, c3_hits]
+void esv_stats(void* h, double* out) {
+  Engine* e = (Engine*)h;
+  out[0] = (double)e->n_requests;
+  out[1] = (double)e->n_perfect;
+  out[2] = (double)e->c1->size();
+  out[3] = e->c1->n_lookups ? (double)e->c1->n_hits / e->c1->n_lookups : 0.0;
+  out[4] = e->c2 ? (double)e->c2->size() : 0.0;
+  out[5] = (e->c2 && e->c2->n_lookups)
+               ? (double)e->c2->n_hits / e->c2->n_lookups : 0.0;
+  out[6] = e->c3 ? (double)e->c3->size() : 0.0;
+  out[7] = (double)e->c3_hits;
+}
+
+void esv_close(void* h) { delete (Engine*)h; }
+
+}  // extern "C"

@@ -1,0 +1,134 @@
+"""Native C++ engine: build, correctness, and exact parity with the Python
+tier engine on identical request streams."""
+
+import shutil
+
+import numpy as np
+import pytest
+
+from evstore_tpu.cache.storage import StorageManager, write_ev_tables_binary
+from evstore_tpu.cache.tiers import AltKeyResolver, TieredCache, altkey_encode
+from evstore_tpu.config import CacheConfig
+
+pytestmark = pytest.mark.skipif(shutil.which("g++") is None,
+                                reason="no g++ toolchain")
+
+N_TABLES, DIM = 4, 8
+
+
+@pytest.fixture(scope="module")
+def native_cls():
+    from evstore_tpu.native import NativeTieredCache
+    return NativeTieredCache
+
+
+@pytest.fixture
+def tables(rng):
+    return [rng.uniform(-0.9, 0.9, (50, DIM)).astype(np.float32)
+            for _ in range(N_TABLES)]
+
+
+def _cfg(**kw):
+    base = dict(policy="evlfu", n_caching_layers=1, total_size=40,
+                main_precision=32, secondary_precision=8)
+    base.update(kw)
+    return CacheConfig(**base)
+
+
+def _stream(rng, n, hot=12):
+    """Zipf-ish request stream over 4 tables."""
+    out = []
+    for _ in range(n):
+        if rng.random() < 0.7:
+            out.append(rng.integers(0, hot, N_TABLES))
+        else:
+            out.append(rng.integers(0, 50, N_TABLES))
+    return np.stack(out).astype(np.int64)
+
+
+def test_native_c1_exact_rows(native_cls, tables):
+    nc = native_cls(_cfg(), N_TABLES, DIM).load_tables(tables)
+    idx = np.array([[1, 2, 3, 4]], np.int64)
+    out = nc.request_batch(idx)
+    for t in range(N_TABLES):
+        np.testing.assert_allclose(out[0, t], tables[t][t + 1], rtol=1e-6)
+    out2 = nc.request_batch(idx)
+    np.testing.assert_array_equal(out, out2)
+    s = nc.stats()
+    assert s["requests"] == 2 and s["perfect_hits"] == 1
+    nc.close()
+
+
+@pytest.mark.parametrize("layers,p1,p2", [(1, 32, 8), (1, 8, 8), (2, 32, 8),
+                                          (2, 8, 4), (3, 8, 4)])
+def test_native_matches_python_engine(native_cls, tables, rng, layers, p1, p2):
+    """Bit-exact output parity between the C++ and Python tier engines over
+    a 400-request stream, plus matching perfect-hit counters."""
+    cfg = _cfg(n_caching_layers=layers, total_size=24, main_precision=p1,
+               secondary_precision=p2, size_proportion=(48, 48, 4),
+               c3_io_batch=5)
+    alt = [np.array([altkey_encode(t, (r * 7) % 50) for r in range(50)],
+                    np.uint32) for t in range(N_TABLES)]
+    sm = StorageManager("dummy", dim=DIM).load(tables=tables)
+    py = TieredCache(cfg, sm, N_TABLES, DIM,
+                     altkey_resolver=AltKeyResolver(neighbor_rows=alt))
+    nc = native_cls(cfg, N_TABLES, DIM).load_tables(tables)
+    if layers >= 3:
+        nc.load_altkeys(alt)
+
+    stream = _stream(rng, 400)
+    py_out = py.request_batch(stream)
+    nc_out = nc.request_batch(stream)
+    np.testing.assert_allclose(nc_out, py_out, rtol=1e-6, atol=1e-7)
+
+    ps, ns = py.stats(), nc.stats()
+    assert ns["requests"] == ps["requests"] == 400
+    assert ns["perfect_hits"] == ps["perfect_hits"]
+    assert ns["c1"]["size"] == ps["c1"]["size"]
+    if layers >= 2:
+        assert ns["c2"]["size"] == ps["c2"]["size"]
+    if layers >= 3:
+        assert ns["c3"]["size"] == ps["c3"]["size"]
+        assert ns["c3"]["hits"] == ps["c3"]["hits"]
+    nc.close()
+
+
+def test_native_file_backed(native_cls, tables, tmp_path):
+    write_ev_tables_binary(tables, str(tmp_path), 32)
+    nc = native_cls(_cfg(), N_TABLES, DIM, n_reader_threads=3)
+    nc.open_table_files(str(tmp_path), [50] * N_TABLES, 32)
+    idx = np.array([[5, 6, 7, 8], [5, 6, 7, 8]], np.int64)
+    out = nc.request_batch(idx)
+    for t in range(N_TABLES):
+        np.testing.assert_allclose(out[0, t], tables[t][t + 5], rtol=1e-6)
+    np.testing.assert_array_equal(out[0], out[1])
+    nc.close()
+
+
+def test_native_batched_equals_sequential(native_cls, tables, rng):
+    """The batch prefetch must not change policy outcomes vs one-by-one."""
+    cfg = _cfg(n_caching_layers=2, total_size=24, main_precision=8,
+               secondary_precision=4)
+    a = native_cls(cfg, N_TABLES, DIM).load_tables(tables)
+    b = native_cls(cfg, N_TABLES, DIM).load_tables(tables)
+    stream = _stream(rng, 120)
+    out_a = a.request_batch(stream)
+    outs = [b.request_batch(stream[i:i + 1]) for i in range(len(stream))]
+    out_b = np.concatenate(outs, axis=0)
+    np.testing.assert_array_equal(out_a, out_b)
+    assert a.stats()["perfect_hits"] == b.stats()["perfect_hits"]
+    a.close(); b.close()
+
+
+def test_native_throughput_sane(native_cls, tables, rng):
+    """The native engine must beat the Python engine by a wide margin."""
+    import time
+    cfg = _cfg(total_size=40)
+    sm = StorageManager("dummy", dim=DIM).load(tables=tables)
+    py = TieredCache(cfg, sm, N_TABLES, DIM)
+    nc = native_cls(cfg, N_TABLES, DIM).load_tables(tables)
+    stream = _stream(rng, 2000)
+    t0 = time.perf_counter(); py.request_batch(stream); t_py = time.perf_counter() - t0
+    t0 = time.perf_counter(); nc.request_batch(stream); t_nc = time.perf_counter() - t0
+    assert t_nc < t_py, (t_nc, t_py)
+    nc.close()

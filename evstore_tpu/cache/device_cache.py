@@ -1,0 +1,240 @@
+"""Device-resident C1 cache: EvLFU-managed rows living in TPU HBM.
+
+This is the TPU-native form of EVStore's C1 tier (BASELINE config 3): the hot
+rows of all embedding tables live in ONE fixed-size HBM array [C, D] (or
+uint8 [C, D] at 8-bit precision) — HBM footprint is bounded by the cache
+capacity, not the table sizes.  The groupability-aware EvLFU policy runs on
+the host (it is branchy, data-dependent bookkeeping — exactly what a TPU is
+bad at) and maps keys to cache SLOTS; the device only ever sees dense
+indices, so the per-batch device work is one scatter (miss rows in) + one
+gather (all rows out), both static-shaped and jit-compiled once.
+
+Aliasing design: within a segment (one device apply), a row inserted this
+segment is gathered from the *shipped miss buffer* (index capacity+m), never
+from its cache slot — so slots freed by evictions can be reused immediately
+without corrupting earlier requests, and the policy trajectory is exactly
+the host engine's.  A slot that served a *hit* this segment is pinned until
+the segment flushes (the gather will read it).  The scatter applies the LAST
+write per slot, which is the correct state for future segments.
+
+Host->device traffic per batch is the miss rows only — the whole point of
+the cache tier (the reference ships every looked-up row to the GPU each
+request, dlrm_s_pytorch_C1.py:227-276).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Set, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from evstore_tpu.cache.policy import EvLFU
+from evstore_tpu.cache.storage import StorageManager
+from evstore_tpu.config import CacheConfig
+
+Key = Tuple[int, int]
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _apply_fp32(cache, slots, scat_slots, scat_m, buf):
+    """cache [C,D] fp32; slots [B,T] gather indices over concat(cache, buf);
+    scat_slots [Mp] (pad == C -> dropped); scat_m [Mp] buffer rows to write;
+    buf [Mp, D] shipped miss rows."""
+    cache = cache.at[scat_slots].set(buf[scat_m], mode="drop")
+    combined = jnp.concatenate([cache, buf], axis=0)
+    rows = jnp.take(combined, slots, axis=0)
+    return cache, rows
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _apply_u8(cache_u8, slots, scat_slots, scat_m, buf_u8):
+    cache_u8 = cache_u8.at[scat_slots].set(buf_u8[scat_m], mode="drop")
+    combined = jnp.concatenate([cache_u8, buf_u8], axis=0)
+    enc = jnp.take(combined, slots, axis=0).astype(jnp.float32)
+    rows = (enc / 254.0) * 2.0 - 1.0   # dequant fused into the gather program
+    return cache_u8, rows
+
+
+class DeviceC1Cache:
+    """HBM-resident EvLFU cache in front of a host backing store."""
+
+    def __init__(self, cfg: CacheConfig, storage: StorageManager,
+                 n_tables: int, dim: int, insert_bucket: int = 512):
+        if cfg.main_precision not in (32, 8):
+            raise ValueError("device cache supports fp32 or int8 rows")
+        if cfg.total_size < n_tables:
+            raise ValueError(f"capacity {cfg.total_size} < one request group "
+                             f"({n_tables} rows)")
+        self.cfg = cfg
+        self.storage = storage
+        self.n_tables = n_tables
+        self.dim = dim
+        self.capacity = cfg.total_size
+        self.insert_bucket = insert_bucket
+        self.precision = cfg.main_precision
+
+        self._free: List[int] = list(range(self.capacity - 1, -1, -1))
+        self._pending: List[int] = []     # freed this segment, maybe pinned
+        self._pinned: Set[int] = set()    # slots gathered (as hits) this seg
+        def _on_evict(_key, slot):
+            if slot >= 0:               # NO_SLOT keys had no HBM residency
+                self._pending.append(slot)
+
+        self.policy = EvLFU(self.capacity, n_tables, cfg.flush_rate,
+                            cfg.perfect_item_cap, on_evict=_on_evict)
+        dtype = jnp.float32 if self.precision == 32 else jnp.uint8
+        self.cache_values = jnp.zeros((self.capacity, dim), dtype)
+        self.n_requests = 0
+        self.n_perfect = 0
+        self.n_segments = 0
+        self.bytes_shipped = 0
+
+    # ----------------------------------------------------------- host side
+
+    def _sweep_pending(self):
+        """Move unpinned freed slots back to the free list."""
+        still = []
+        for s in self._pending:
+            if s in self._pinned:
+                still.append(s)
+            else:
+                self._free.append(s)
+        self._pending = still
+
+    def _apply_segment(self, seg_slots, ins_keys, scatter_map) -> np.ndarray:
+        slots = np.stack(seg_slots)
+        M = len(ins_keys)
+        bk = self.insert_bucket
+        Mp = max(bk, ((M + bk - 1) // bk) * bk)
+        buf = np.zeros((Mp, self.dim), np.float32)
+        if M:
+            buf[:M] = self.storage.get_batch(ins_keys)
+        scat_slots = np.full((Mp,), self.capacity, np.int32)  # pad -> dropped
+        scat_m = np.zeros((Mp,), np.int32)
+        for j, (slot, m) in enumerate(scatter_map.items()):
+            scat_slots[j] = slot
+            scat_m[j] = m
+        if self.precision == 8:
+            from evstore_tpu.ops.quant import np_quantize_int8
+            payload = np_quantize_int8(buf)
+            self.bytes_shipped += Mp * self.dim
+            self.cache_values, out = _apply_u8(
+                self.cache_values, jnp.asarray(slots),
+                jnp.asarray(scat_slots), jnp.asarray(scat_m),
+                jnp.asarray(payload))
+        else:
+            self.bytes_shipped += Mp * self.dim * 4
+            self.cache_values, out = _apply_fp32(
+                self.cache_values, jnp.asarray(slots),
+                jnp.asarray(scat_slots), jnp.asarray(scat_m),
+                jnp.asarray(buf))
+        self._pinned.clear()
+        self._sweep_pending()
+        self.n_segments += 1
+        return np.asarray(out)
+
+    # --------------------------------------------------------------- public
+
+    def lookup_batch(self, idx: np.ndarray) -> np.ndarray:
+        """[B, T] int -> [B, T, D] fp32 rows; updates cache state."""
+        idx = np.asarray(idx)
+        B, T = idx.shape
+        C = self.capacity
+        outputs: List[np.ndarray] = []
+        seg_slots: List[np.ndarray] = []
+        ins_keys: List[Key] = []
+        scatter_map: Dict[int, int] = {}      # slot -> last buffer row m
+        seg_buf_idx: Dict[Key, int] = {}      # key -> C + m (this segment)
+
+        NO_SLOT = -1
+
+        def buffer_serve(key) -> int:
+            """Ship this key's row in the segment buffer; return its gather
+            index (C + m)."""
+            m = len(ins_keys)
+            ins_keys.append(key)
+            seg_buf_idx[key] = C + m
+            return C + m
+
+        def take_slot():
+            if not self._free:
+                self._sweep_pending()
+            return self._free.pop() if self._free else NO_SLOT
+
+        def insert(key, agg) -> int:
+            """policy.set (may evict, freeing slots), then take a slot.  If
+            every free slot is pinned by earlier gathers this segment, the
+            key lives policy-side with NO_SLOT (served from the buffer; a
+            later hit re-attempts slot assignment) — values and policy
+            trajectory stay exact, only HBM residency is deferred."""
+            self.policy.set(key, NO_SLOT, agg)
+            gidx = buffer_serve(key)
+            slot = take_slot()
+            if slot != NO_SLOT:
+                self.policy.vals[key][0] = slot
+                scatter_map[slot] = gidx - C
+            return gidx
+
+        for b in range(B):
+            # keep segments healthy: recycle freed slots between requests
+            if len(self._free) < T and seg_slots:
+                avail = len(self._free) + sum(1 for s in self._pending
+                                              if s not in self._pinned)
+                if avail < T:
+                    outputs.append(self._apply_segment(seg_slots, ins_keys,
+                                                       scatter_map))
+                    seg_slots, ins_keys = [], []
+                    scatter_map, seg_buf_idx = {}, {}
+            keys = [(t, int(idx[b, t])) for t in range(T)]
+            hits, agg = self.policy.probe_group(keys)
+            row_slots = np.empty((T,), np.int32)
+            for t, (k, h) in enumerate(zip(keys, hits)):
+                if h:
+                    slot = self.policy.update_agg_hit(k, agg)
+                    if slot is None:     # evicted earlier in this segment
+                        row_slots[t] = insert(k, agg)
+                    elif k in seg_buf_idx:
+                        row_slots[t] = seg_buf_idx[k]   # inserted this seg
+                    elif slot == NO_SLOT:
+                        # HBM residency was deferred; serve from buffer and
+                        # retry slot assignment
+                        gidx = buffer_serve(k)
+                        row_slots[t] = gidx
+                        s2 = take_slot()
+                        if s2 != NO_SLOT:
+                            self.policy.vals[k][0] = s2
+                            scatter_map[s2] = gidx - C
+                    else:
+                        self._pinned.add(slot)
+                        row_slots[t] = slot
+                else:
+                    row_slots[t] = insert(k, agg)
+            seg_slots.append(row_slots)
+            self.policy.n_requests += 1
+            self.n_requests += 1
+            if agg == T:
+                self.policy.n_perfect_hits += 1
+                self.n_perfect += 1
+                self.policy.n_perfect = len(self.policy.buckets[T])
+
+        if seg_slots:
+            outputs.append(self._apply_segment(seg_slots, ins_keys,
+                                               scatter_map))
+        return np.concatenate(outputs, axis=0)
+
+    def stats(self) -> dict:
+        s = self.policy.stats()
+        return {
+            "requests": self.n_requests,
+            "perfect_hits": self.n_perfect,
+            "hit_rate": s["hit_rate"],
+            "size": s["size"],
+            "capacity": self.capacity,
+            "segments": self.n_segments,
+            "hbm_bytes": int(self.capacity * self.dim
+                             * (1 if self.precision == 8 else 4)),
+            "bytes_shipped": self.bytes_shipped,
+        }

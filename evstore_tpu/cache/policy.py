@@ -32,7 +32,8 @@ class EvLFU:
     """Groupability-aware LFU over request groups of `n_tables` keys."""
 
     def __init__(self, capacity: int, n_tables: int = 26,
-                 flush_rate: float = 0.3, perfect_item_cap: float = 0.95):
+                 flush_rate: float = 0.3, perfect_item_cap: float = 0.95,
+                 on_evict=None):
         self.cap = int(capacity)
         self.n_tables = n_tables
         self.flush_rate = flush_rate
@@ -48,6 +49,7 @@ class EvLFU:
         self.n_hits = 0
         self.n_lookups = 0
         self.evicted: List[Key] = []             # drained by the C3 tier
+        self.on_evict = on_evict                 # callback(key, value)
 
     def __len__(self) -> int:
         return len(self.vals)
@@ -61,6 +63,8 @@ class EvLFU:
             if self.min_agg > self.n_tables:
                 self.min_agg = 1  # wrap (EvLFU_C1.py:52-54)
         key, _ = self.buckets[self.min_agg].popitem(last=False)
+        if self.on_evict is not None:
+            self.on_evict(key, self.vals[key][0])
         del self.vals[key]
         self.evicted.append(key)
         return key
@@ -73,6 +77,8 @@ class EvLFU:
             perfect = self.buckets[self.n_tables]
             for _ in range(min(n_evict, len(perfect))):
                 k, _ = perfect.popitem(last=False)
+                if self.on_evict is not None:
+                    self.on_evict(k, self.vals[k][0])
                 del self.vals[k]
                 self.evicted.append(k)
             self.n_perfect = len(perfect)

@@ -1,0 +1,89 @@
+"""Fused Pallas dot-interaction kernel.
+
+Computes concat(x, tril(feats @ feats^T)) for DLRM's pairwise feature
+interaction (reference: interact_features, dlrm_s_pytorch.py:483-505) in one
+kernel: the per-sample Gram matrix runs on the MXU and the lower-triangle
+extraction is expressed as a second MXU matmul against a constant 0/1
+selection matrix (gathers with dynamic addressing are weak on TPU; a
+[F*F, P] selection matmul keeps everything in the systolic array).
+
+Output layout matches ops/interaction.py: [B, D + P], P = (T+1)T/2
+(+T+1 with self-interaction).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from evstore_tpu.ops.interaction import _tril_indices
+
+
+@functools.lru_cache(maxsize=None)
+def _selection_matrix(num_features: int, self_interaction: bool) -> np.ndarray:
+    """[F*F, P] 0/1 matrix mapping flattened gram entries to tril pairs."""
+    li, lj = _tril_indices(num_features, self_interaction)
+    P = len(li)
+    sel = np.zeros((num_features * num_features, P), np.float32)
+    for p, (i, j) in enumerate(zip(li, lj)):
+        sel[i * num_features + j, p] = 1.0
+    return sel
+
+
+def _interaction_kernel(x_ref, ly_ref, sel_ref, out_ref):
+    tile_b = x_ref.shape[0]
+    D = x_ref.shape[1]
+    F = ly_ref.shape[1] + 1
+    x = x_ref[:].astype(jnp.float32)
+    feats = jnp.concatenate([x[:, None, :], ly_ref[:].astype(jnp.float32)],
+                            axis=1)                      # [Bt, F, D]
+    gram = jax.lax.dot_general(
+        feats, feats,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)               # [Bt, F, F]
+    flat = gram.reshape(tile_b, F * F)
+    pairs = jnp.dot(flat, sel_ref[:],
+                    preferred_element_type=jnp.float32)   # [Bt, P]
+    out_ref[:, :D] = x
+    out_ref[:, D:] = pairs
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("self_interaction", "tile_b", "interpret"))
+def dot_interaction_pallas(x: jax.Array, ly: jax.Array,
+                           self_interaction: bool = False,
+                           tile_b: int = 128,
+                           interpret: bool = False) -> jax.Array:
+    """x [B, D], ly [B, T, D] -> [B, D + P]."""
+    B, D = x.shape
+    T = ly.shape[1]
+    F = T + 1
+    sel = jnp.asarray(_selection_matrix(F, self_interaction))
+    P = sel.shape[1]
+    tile_b = min(tile_b, B)
+    if B % tile_b != 0:
+        raise ValueError(f"B={B} not divisible by tile_b={tile_b}")
+    grid_spec = pl.GridSpec(
+        grid=(B // tile_b,),
+        in_specs=[
+            pl.BlockSpec((tile_b, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, T, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((F * F, P), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_b, D + P), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _interaction_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, D + P), x.dtype),
+        interpret=interpret,
+    )(x, ly, sel.astype(x.dtype))

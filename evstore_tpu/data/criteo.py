@@ -1,0 +1,243 @@
+"""Criteo preprocessing and datasets.
+
+Reference semantics (data_utils.py + dlrm_data_pytorch.py):
+
+- `preprocess_criteo`: split the raw TSV (`train.txt` for Kaggle; `day_*`
+  for Terabyte) into days (getCriteoAdData:876), build per-table
+  categorical->contiguous-id dicts across all days (convertDicts,
+  processCriteoAdData:112), clamp negative/missing dense to 0, optional
+  label-balanced subsampling (sub_sample_rate, :947-966), per-day .npz plus
+  a combined processed .npz with per-table counts (concatCriteoAdData:172).
+- `CriteoDataset`: day-based split — train = all days but the last; the last
+  day is halved into test/val (dlrm_data_pytorch.py:240-284); dense features
+  are served as log1p(x) fp32 (:342,:365); categorical ids mod
+  max_ind_range (:314-321); `reduceDatasetSize` keeps a leading fraction
+  (:389).
+- `numpy_to_binary` / `CriteoBinDataset`: pack processed arrays as int32
+  records [label, 13 dense, 26 sparse] for fast mmap'd batched reads
+  (script/data_loader_terabyte.py:197-368).
+
+Everything is numpy; batches come out shaped for the jitted step:
+(dense [B,13] fp32 log1p, idx [B,26] int32, y [B] fp32).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+Batch = Tuple[np.ndarray, np.ndarray, np.ndarray]
+
+NUM_DENSE = 13
+NUM_SPARSE = 26
+
+
+def _parse_tsv(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Parse a Criteo TSV chunk: label \\t 13 ints \\t 26 hex cats.
+    Missing dense -> 0; negative dense -> 0 (data_utils.py:1130-1144)."""
+    labels, dense, cats = [], [], []
+    with open(path) as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) != 1 + NUM_DENSE + NUM_SPARSE:
+                continue
+            labels.append(int(parts[0]))
+            d = np.zeros(NUM_DENSE, np.int64)
+            for i, v in enumerate(parts[1:1 + NUM_DENSE]):
+                if v:
+                    x = int(v)
+                    d[i] = x if x > 0 else 0
+            dense.append(d)
+            c = np.zeros(NUM_SPARSE, np.int64)
+            for i, v in enumerate(parts[1 + NUM_DENSE:]):
+                # hex string; empty -> 0 (data_utils.py:1147-1153)
+                c[i] = int(v, 16) if v else 0
+            cats.append(c)
+    return (np.asarray(labels, np.int32), np.stack(dense),
+            np.stack(cats))
+
+
+def preprocess_criteo(txt_path: str, out_dir: str, days: int = 7,
+                      sub_sample_rate: float = 0.0, seed: int = 123,
+                      dataset_name: str = "kaggle") -> str:
+    """Split into days, build categorical dicts, write processed npz.
+    Returns the path of the combined npz."""
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    y, Xi, Xc = _parse_tsv(txt_path)
+    n = len(y)
+    per_day = n // days
+
+    # build per-table dicts across ALL days (convertDicts semantics:
+    # first-seen order assigns contiguous ids)
+    dicts: List[Dict[int, int]] = [dict() for _ in range(NUM_SPARSE)]
+    Xc_ids = np.empty_like(Xc, dtype=np.int32)
+    for t in range(NUM_SPARSE):
+        d = dicts[t]
+        col = Xc[:, t]
+        out = Xc_ids[:, t]
+        for i, raw in enumerate(col):
+            rid = d.get(raw)
+            if rid is None:
+                rid = len(d)
+                d[raw] = rid
+            out[i] = rid
+    counts = np.asarray([len(d) for d in dicts], np.int32)
+
+    # optional balanced subsample: drop negatives with prob (1 - rate)
+    # (data_utils.py:947-966 keeps rand < rate OR label == 1)
+    keep = np.ones(n, bool)
+    if sub_sample_rate > 0.0:
+        keep = (rng.random(n) < sub_sample_rate) | (y == 1)
+
+    day_paths = []
+    for d in range(days):
+        lo, hi = d * per_day, (d + 1) * per_day if d < days - 1 else n
+        m = keep[lo:hi]
+        p = os.path.join(out_dir, f"{dataset_name}_day_{d}.npz")
+        np.savez_compressed(p, X_int=Xi[lo:hi][m], X_cat=Xc_ids[lo:hi][m],
+                            y=y[lo:hi][m])
+        day_paths.append(p)
+
+    combined = os.path.join(out_dir, f"{dataset_name}_processed.npz")
+    np.savez_compressed(
+        combined,
+        X_int=Xi[keep], X_cat=Xc_ids[keep], y=y[keep], counts=counts,
+        day_offsets=np.asarray(
+            [0] + list(np.cumsum([np.load(p)["y"].shape[0]
+                                  for p in day_paths])), np.int64))
+    return combined
+
+
+@dataclasses.dataclass
+class CriteoDataset:
+    """Day-split view over a processed npz (dlrm_data_pytorch.CriteoDataset)."""
+
+    X_int: np.ndarray          # [n, 13] int
+    X_cat: np.ndarray          # [n, 26] int32
+    y: np.ndarray              # [n]
+    counts: np.ndarray         # [26] rows per table
+    day_offsets: np.ndarray
+    max_ind_range: int = 0
+
+    @classmethod
+    def load(cls, npz_path: str, max_ind_range: int = 0) -> "CriteoDataset":
+        z = np.load(npz_path)
+        return cls(z["X_int"], z["X_cat"], z["y"], z["counts"],
+                   z["day_offsets"], max_ind_range)
+
+    @property
+    def table_sizes(self) -> Tuple[int, ...]:
+        if self.max_ind_range > 0:
+            return tuple(int(min(c, self.max_ind_range)) for c in self.counts)
+        return tuple(int(c) for c in self.counts)
+
+    def _slice(self, lo: int, hi: int):
+        return self.X_int[lo:hi], self.X_cat[lo:hi], self.y[lo:hi]
+
+    def splits(self):
+        """train = days 0..D-2; last day halved into test/val
+        (dlrm_data_pytorch.py:240-284)."""
+        last_lo = int(self.day_offsets[-2])
+        n = len(self.y)
+        mid = last_lo + (n - last_lo) // 2
+        return ((0, last_lo), (last_lo, mid), (mid, n))  # train, test, val
+
+    def batches(self, split: str = "train", batch_size: int = 128,
+                shuffle: bool = False, seed: int = 0,
+                fraction: float = 1.0, drop_last: bool = False
+                ) -> Iterator[Batch]:
+        """fraction keeps a leading subset (reduceDatasetSize:389)."""
+        (tr, te, va) = self.splits()
+        lo, hi = {"train": tr, "test": te, "val": va}[split]
+        n = hi - lo
+        if fraction < 1.0:
+            n = max(1, int(n * fraction))
+        order = np.arange(lo, lo + n)
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        for s in range(0, n, batch_size):
+            sel = order[s:s + batch_size]
+            if drop_last and len(sel) < batch_size:
+                break
+            xi, xc, yy = self.X_int[sel], self.X_cat[sel], self.y[sel]
+            if self.max_ind_range > 0:
+                xc = xc % self.max_ind_range
+            dense = np.log1p(xi.astype(np.float32))  # log(x+1) (:342)
+            yield dense, xc.astype(np.int32), yy.astype(np.float32)
+
+    def num_batches(self, split: str, batch_size: int,
+                    fraction: float = 1.0) -> int:
+        (tr, te, va) = self.splits()
+        lo, hi = {"train": tr, "test": te, "val": va}[split]
+        n = hi - lo
+        if fraction < 1.0:
+            n = max(1, int(n * fraction))
+        return -(-n // batch_size)
+
+
+# ------------------------------------------------ binary (terabyte) format
+
+RECORD_INTS = 1 + NUM_DENSE + NUM_SPARSE   # 40 int32 per sample
+
+
+def numpy_to_binary(npz_path: str, out_bin: str) -> str:
+    """Pack processed arrays as int32 records [label, 13 dense, 26 sparse]
+    (script/data_loader_terabyte.py numpy_to_binary:243)."""
+    z = np.load(npz_path)
+    n = z["y"].shape[0]
+    rec = np.empty((n, RECORD_INTS), np.int32)
+    rec[:, 0] = z["y"]
+    rec[:, 1:1 + NUM_DENSE] = z["X_int"]
+    rec[:, 1 + NUM_DENSE:] = z["X_cat"]
+    rec.tofile(out_bin)
+    return out_bin
+
+
+class CriteoBinDataset:
+    """mmap'd batched reads over the packed binary
+    (script/data_loader_terabyte.py CriteoBinDataset:197)."""
+
+    def __init__(self, bin_path: str, batch_size: int = 2048,
+                 max_ind_range: int = 0):
+        self.batch_size = batch_size
+        self.max_ind_range = max_ind_range
+        self.mm = np.memmap(bin_path, dtype=np.int32, mode="r")
+        assert self.mm.shape[0] % RECORD_INTS == 0
+        self.n = self.mm.shape[0] // RECORD_INTS
+
+    def __len__(self):
+        return -(-self.n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Batch]:
+        for s in range(0, self.n, self.batch_size):
+            e = min(s + self.batch_size, self.n)
+            rec = np.asarray(self.mm[s * RECORD_INTS:e * RECORD_INTS]
+                             ).reshape(e - s, RECORD_INTS)
+            y = rec[:, 0].astype(np.float32)
+            dense = np.log1p(np.maximum(rec[:, 1:1 + NUM_DENSE], 0)
+                             .astype(np.float32))
+            xc = rec[:, 1 + NUM_DENSE:].astype(np.int32)
+            if self.max_ind_range > 0:
+                xc = xc % self.max_ind_range
+            yield dense, xc, y
+
+
+def make_synthetic_criteo_txt(path: str, n: int = 1000, seed: int = 0,
+                              vocab: int = 50) -> str:
+    """Generate a tiny raw-format train.txt for tests (the reference uses
+    --data-generation=random as its CPU fixture; we additionally exercise the
+    real preprocessing path)."""
+    rng = np.random.default_rng(seed)
+    with open(path, "w") as f:
+        for _ in range(n):
+            label = int(rng.random() < 0.25)
+            dense = [str(int(rng.integers(-2, 100))) if rng.random() > 0.1
+                     else "" for _ in range(NUM_DENSE)]
+            cats = [format(int(rng.integers(0, vocab)), "x")
+                    if rng.random() > 0.05 else "" for _ in range(NUM_SPARSE)]
+            f.write("\t".join([str(label)] + dense + cats) + "\n")
+    return path

@@ -1,0 +1,134 @@
+"""Training driver: the baseline DLRM train+eval loop with checkpointing and
+EV export.
+
+Reference: dlrm_s_pytorch.py run() (:922-1990): epoch loop, periodic eval
+(test_freq), checkpoint + per-table EV export on every new-best eval, mlperf
+threshold early-exit, resume with skip-upto fast-forward.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from evstore_tpu.config import DLRMConfig, TrainConfig
+from evstore_tpu.models.dlrm import DLRMParams, init_dlrm
+from evstore_tpu.train.train_loop import (evaluate, init_opt_state,
+                                          make_eval_step, make_train_step)
+from evstore_tpu.utils.checkpoint import (export_ev_tables, latest_step,
+                                          restore_checkpoint, save_checkpoint)
+from evstore_tpu.utils.logging import MLPerfLogger
+
+
+@dataclasses.dataclass
+class TrainResult:
+    params: DLRMParams
+    best_metric: float
+    steps: int
+    history: dict
+
+
+def run_training(cfg: DLRMConfig, tcfg: TrainConfig,
+                 make_train_batches: Callable[[], Iterable],
+                 make_test_batches: Optional[Callable[[], Iterable]] = None,
+                 ckpt_dir: Optional[str] = None,
+                 ev_export_dir: Optional[str] = None,
+                 resume: bool = False,
+                 seed: int = 0,
+                 log_fn=print) -> TrainResult:
+    """Full training run.  make_*_batches are zero-arg callables returning a
+    fresh batch iterator (epochs re-iterate)."""
+    mll = MLPerfLogger(log_fn=log_fn)
+    mll.event("init_start")
+    params = init_dlrm(jax.random.PRNGKey(seed), cfg)
+    opt_state = init_opt_state(params, tcfg)
+    start_step = 0
+    if resume and ckpt_dir:
+        s = latest_step(ckpt_dir)
+        if s is not None:
+            params, opt_state, extra = restore_checkpoint(
+                ckpt_dir, s, params, opt_state)
+            start_step = s
+            log_fn(f"resumed from checkpoint step {s}")
+
+    step_fn = jax.jit(make_train_step(cfg, tcfg), donate_argnums=(0, 1))
+    eval_step = make_eval_step(cfg) if make_test_batches else None
+
+    best = -float("inf")
+    history = {"loss": [], "eval": []}
+    step = 0
+    should_stop = False
+    mll.event("init_stop")
+    mll.event("run_start")
+    t0 = time.perf_counter()
+    n_since = 0
+    for epoch in range(tcfg.nepochs):
+        mll.event("epoch_start", {"epoch": epoch})
+        for dense_x, idx, y in make_train_batches():
+            step += 1
+            if step <= start_step:
+                continue   # skip-upto fast-forward (dlrm_s_pytorch.py:1605)
+            params, opt_state, loss = step_fn(
+                params, opt_state, jnp.asarray(dense_x), jnp.asarray(idx),
+                jnp.asarray(y))
+            n_since += 1
+            if step % max(tcfg.print_freq, 1) == 0:
+                jax.block_until_ready(loss)
+                dt = time.perf_counter() - t0
+                lv = float(loss)
+                history["loss"].append((step, lv))
+                log_fn(f"step {step}: loss {lv:.6f} "
+                       f"({n_since * dense_x.shape[0] / max(dt, 1e-9):.0f} "
+                       "examples/s)")
+                t0, n_since = time.perf_counter(), 0
+            if (make_test_batches and tcfg.test_freq > 0
+                    and step % tcfg.test_freq == 0):
+                metrics = evaluate(params, cfg, make_test_batches(), eval_step)
+                history["eval"].append((step, metrics))
+                mll.event("eval_accuracy", {"step": step, **metrics})
+                log_fn(f"eval @ {step}: auc {metrics['auc']:.4f} "
+                       f"acc {metrics['accuracy']:.4f}")
+                score = metrics["auc"] if not np.isnan(metrics["auc"]) \
+                    else metrics["accuracy"]
+                if score > best:
+                    best = score
+                    if ckpt_dir:
+                        save_checkpoint(ckpt_dir, step, params, opt_state,
+                                        extra={"metrics": metrics})
+                    if ev_export_dir:
+                        export_ev_tables(params, ev_export_dir)
+                if (tcfg.mlperf_auc_threshold > 0
+                        and metrics["auc"] >= tcfg.mlperf_auc_threshold):
+                    mll.event("run_stop", {"status": "success"})
+                    log_fn(f"hit target AUC {tcfg.mlperf_auc_threshold}")
+                    should_stop = True
+                if (tcfg.mlperf_acc_threshold > 0
+                        and metrics["accuracy"] >= tcfg.mlperf_acc_threshold):
+                    should_stop = True
+            if should_stop:
+                break
+        mll.event("epoch_stop", {"epoch": epoch})
+        if should_stop:
+            break
+
+    # final eval + save
+    if make_test_batches:
+        metrics = evaluate(params, cfg, make_test_batches(), eval_step)
+        history["eval"].append((step, metrics))
+        score = metrics["auc"] if not np.isnan(metrics["auc"]) \
+            else metrics["accuracy"]
+        if score > best:
+            best = score
+            if ckpt_dir:
+                save_checkpoint(ckpt_dir, step, params, opt_state,
+                                extra={"metrics": metrics})
+            if ev_export_dir:
+                export_ev_tables(params, ev_export_dir)
+    mll.event("run_stop", {"status": "done"})
+    return TrainResult(params=params, best_metric=best, steps=step,
+                       history=history)

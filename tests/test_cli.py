@@ -1,0 +1,73 @@
+"""CLI flag-parity tests (reference flags -> configs -> runs)."""
+
+import numpy as np
+import pytest
+
+from evstore_tpu.cli import build_parser, configs_from_args, main
+
+
+def test_kaggle_flags_map_to_config():
+    argv = ("--arch-sparse-feature-size 36 "
+            "--arch-embedding-size 100-200-300 "
+            "--arch-mlp-bot 13-512-256-64-36 --arch-mlp-top 512-256-1 "
+            "--mini-batch-size 128 --learning-rate 0.1 "
+            "--optimizer rwsadagrad --loss-function bce").split()
+    args = build_parser().parse_args(argv)
+    cfg, tcfg, ccfg = configs_from_args(args)
+    assert cfg.embedding_dim == 36
+    assert cfg.table_sizes == (100, 200, 300)
+    assert cfg.mlp_bot == (13, 512, 256, 64, 36)
+    # top input derived from interaction: 36 + C(4,2)=6 -> 42
+    assert cfg.mlp_top == (42, 512, 256, 1)
+    assert tcfg.learning_rate == 0.1 and tcfg.optimizer == "rwsadagrad"
+
+
+def test_max_ind_range_caps_tables():
+    argv = ("--arch-sparse-feature-size 4 --arch-embedding-size 100-2000 "
+            "--arch-mlp-bot 4-4 --arch-mlp-top 8-1 "
+            "--max-ind-range 500").split()
+    cfg, _, _ = configs_from_args(build_parser().parse_args(argv))
+    assert cfg.table_sizes == (100, 500)
+
+
+def test_evstore_flags():
+    argv = ("--use-evstore True --cache-algo evlfu --emb-cache-size 1000 "
+            "--n-caching-layers 3 --main-precision 8 "
+            "--secondary-precision 4 --size-proportion 48-48-4 "
+            "--emb-stor mmap").split()
+    _, _, ccfg = configs_from_args(build_parser().parse_args(argv))
+    assert ccfg.total_size == 1000 and ccfg.n_caching_layers == 3
+    assert ccfg.main_precision == 8 and ccfg.secondary_precision == 4
+    assert ccfg.storage_backend == "mmap"
+
+
+def test_cli_train_random_end_to_end(capsys):
+    rc = main(("--arch-sparse-feature-size 4 --arch-embedding-size 40-30 "
+               "--arch-mlp-bot 4-8-4 --arch-mlp-top 8-1 "
+               "--mini-batch-size 16 --num-batches 10 --print-freq 5 "
+               "--learning-rate 0.1 --optimizer sgd").split())
+    assert rc == 0
+    assert "training done" in capsys.readouterr().out
+
+
+def test_cli_evstore_inference_end_to_end(capsys, tmp_path):
+    rc = main(("--inference-only --use-evstore True "
+               "--arch-sparse-feature-size 4 --arch-embedding-size 40-30 "
+               "--arch-mlp-bot 4-8-4 --arch-mlp-top 8-1 "
+               "--mini-batch-size 8 --num-batches 6 --nbatches-test 6 "
+               "--data-generation synthetic "
+               "--cache-algo evlfu --emb-cache-size 50 "
+               f"--write-cdf-file {tmp_path}/cdf.csv").split())
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "inference done" in out and "perfect_hits" in out
+    assert (tmp_path / "cdf.csv").exists()
+
+
+def test_cli_plain_inference(capsys):
+    rc = main(("--inference-only "
+               "--arch-sparse-feature-size 4 --arch-embedding-size 40-30 "
+               "--arch-mlp-bot 4-8-4 --arch-mlp-top 8-1 "
+               "--mini-batch-size 8 --nbatches-test 5").split())
+    assert rc == 0
+    assert "inference done" in capsys.readouterr().out

@@ -84,60 +84,29 @@ def gather_rows(table: jax.Array, idx: jax.Array, *, tile_b: int = 256,
     )(idx.astype(jnp.int32), table)
 
 
-def _gather_dequant_kernel(idx_ref, table_ref, out_ref, scratch, sems):
-    i = pl.program_id(0)
-    tile_b = out_ref.shape[0]
-
-    def dma(j):
-        row = idx_ref[i * tile_b + j]
-        return pltpu.make_async_copy(table_ref.at[row], scratch.at[j],
-                                     sems.at[j % N_INFLIGHT])
-
-    def body(j, carry):
-        @pl.when(j >= N_INFLIGHT)
-        def _retire():
-            dma(j - N_INFLIGHT).wait()
-        dma(j).start()
-        return carry
-
-    jax.lax.fori_loop(0, tile_b, body, 0)
-
-    def drain(j, carry):
-        dma(j).wait()
-        return carry
-
-    jax.lax.fori_loop(max(tile_b - N_INFLIGHT, 0), tile_b, drain, 0)
-    # fused dequant on the VPU: (v/254)*2-1.  Mosaic has no direct
-    # uint8->f32 cast; hop through int32.
-    v = scratch[:].astype(jnp.int32).astype(jnp.float32)
-    out_ref[:] = (v / 254.0) * 2.0 - 1.0
-
-
 @functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))
 def gather_rows_dequant_int8(table_u8: jax.Array, idx: jax.Array, *,
                              tile_b: int = 256,
                              interpret: bool = False) -> jax.Array:
-    """table_u8 [N, D] uint8 (HBM, 8-bit codec), idx [B] -> [B, D] fp32."""
+    """table_u8 [N, D] uint8 (HBM, 8-bit codec), idx [B] -> [B, D] fp32.
+
+    Mosaic cannot DMA a single int8 row (sublane packing makes a [1, D] i8
+    HBM slice unaddressable), so the rows travel through the fp32-style
+    gather kernel as an int32 VIEW [N, D/4]; the byte unpack + dequant
+    ((v/254)*2-1) run in XLA and fuse with downstream consumers.  D must be
+    a multiple of 4 (pad the cache dim upstream otherwise)."""
     B = idx.shape[0]
-    D = table_u8.shape[1]
-    tile_b = min(tile_b, B)
-    if B % tile_b != 0:
-        raise ValueError(f"B={B} not divisible by tile_b={tile_b}")
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B // tile_b,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((tile_b, D), lambda i, idx_ref: (i, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((tile_b, D), jnp.uint8),
-                        pltpu.SemaphoreType.DMA((N_INFLIGHT,))],
-    )
-    return pl.pallas_call(
-        _gather_dequant_kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, D), jnp.float32),
-        interpret=interpret,
-    )(idx.astype(jnp.int32), table_u8)
+    N, D = table_u8.shape
+    if D % 4 != 0:
+        raise ValueError(f"dim {D} must be a multiple of 4 for the packed "
+                         "int8 gather")
+    words = jax.lax.bitcast_convert_type(
+        table_u8.reshape(N, D // 4, 4), jnp.int32)          # [N, D/4]
+    gathered = gather_rows(words, idx, tile_b=tile_b, interpret=interpret)
+    shifts = jnp.asarray([0, 8, 16, 24], jnp.int32)         # little-endian
+    bytes_ = (gathered[..., None] >> shifts) & 0xFF          # [B, D/4, 4]
+    v = bytes_.reshape(B, D).astype(jnp.float32)
+    return (v / 254.0) * 2.0 - 1.0
 
 
 # -------------------------------------------------------- jnp references

@@ -1,0 +1,171 @@
+"""Table-wise sharded embedding with lax.all_to_all exchange — the
+reference's butterfly.
+
+Reference: DLRM_Net.distributed_forward (dlrm_s_pytorch.py:529-578): each
+rank owns a contiguous slice of the tables, looks up the FULL batch for its
+local tables, then an all-to-all redistributes so each rank holds ALL tables
+x ITS batch slice, overlapped with the bottom MLP
+(extend_distributed.py:389-486).
+
+TPU-native: a 1D mesh; tables stacked [T_pad, N_max, D] and sharded on the
+table axis; `jax.lax.all_to_all(ly, axis, split_axis=batch, concat_axis=
+table)` is the butterfly; XLA's latency-hiding scheduler overlaps it with
+the bottom MLP automatically (the reference does this by hand with async
+NCCL requests).  Gradients flow through the transposed all-to-all for free.
+
+This mode requires near-uniform table sizes (the stack pads every table to
+N_max); the row-sharded mode (parallel/sharded.py) is the one for skewed
+tables like Criteo Kaggle.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from evstore_tpu.config import DLRMConfig, TrainConfig
+from evstore_tpu.models.dlrm import DLRMParams, dlrm_forward, dlrm_loss
+from evstore_tpu.train.optim import (OptState, PAD_ROW, dedup_rows,
+                                     lr_schedule, make_optimizer)
+
+AXIS = "devices"
+
+
+def stack_tables(params: DLRMParams, n_devices: int
+                 ) -> Tuple[jnp.ndarray, int]:
+    """[T_pad, N_max, D] stacked tables (zero-padded); returns (stack, T)."""
+    tabs = []
+    for t in range(len(params.sparse)):
+        p = params.sparse[f"table_{t}"]
+        if "kind_plain" not in p:
+            raise ValueError("butterfly mode requires plain tables")
+        tabs.append(p["kind_plain"])
+    T = len(tabs)
+    n_max = max(t.shape[0] for t in tabs)
+    D = tabs[0].shape[1]
+    T_pad = -(-T // n_devices) * n_devices
+    stack = jnp.zeros((T_pad, n_max, D), tabs[0].dtype)
+    for t, tab in enumerate(tabs):
+        stack = stack.at[t, :tab.shape[0]].set(tab)
+    return stack, T
+
+
+def unstack_tables(stack: jnp.ndarray, params: DLRMParams) -> DLRMParams:
+    new_sparse = {}
+    for t in range(len(params.sparse)):
+        n = params.sparse[f"table_{t}"]["kind_plain"].shape[0]
+        new_sparse[f"table_{t}"] = {"kind_plain": stack[t, :n]}
+    return DLRMParams(params.dense, new_sparse)
+
+
+def make_butterfly_train_step(cfg: DLRMConfig, tcfg: TrainConfig, mesh: Mesh,
+                              global_batch: int):
+    """Returns build(params) -> jitted step over
+    (dense_params, stack, opt_dense, row_state[T_pad, N_max... no:
+    rwsadagrad row state is [T_pad, N_max]], step, dense_x, idx, labels).
+
+    Simplified state layout: (dense, stack, opt) explicit tuple.
+    """
+    opt_init, dense_update, sparse_update = make_optimizer(tcfg.optimizer)
+    lr_fn = lr_schedule(tcfg.learning_rate, tcfg.lr_num_warmup_steps,
+                        tcfg.lr_decay_start_step, tcfg.lr_num_decay_steps)
+    n_dev = mesh.shape[AXIS]
+    T = cfg.num_tables
+    B = global_batch
+    Bl = B // n_dev
+
+    def local_step(dense_params, stack_local, dstate, row_state_local, step,
+                   dense_x, idx_full, labels):
+        # stack_local: [Tl, N_max, D]; idx_full: [B, T] replicated
+        Tl = stack_local.shape[0]
+        shard = jax.lax.axis_index(AXIS)
+
+        def lookup(stack_l):
+            outs = []
+            for tl in range(Tl):
+                gt = shard * Tl + tl
+                # global table id may exceed T-1 on the padded shard; clamp
+                col = jnp.take(idx_full, jnp.minimum(gt, T - 1), axis=1)
+                outs.append(jnp.take(stack_l[tl], col, axis=0))
+            return jnp.stack(outs, axis=1)         # [B, Tl, D]
+
+        ly_local = lookup(stack_local)
+
+        def loss_fn(dparams, ly_loc):
+            # butterfly: full batch x local tables -> local batch x all tables
+            ly = jax.lax.all_to_all(ly_loc, AXIS, split_axis=0, concat_axis=1,
+                                    tiled=True)    # [Bl, T_pad, D]
+            ly = ly[:, :T, :]
+            logits = dlrm_forward(DLRMParams(dparams, {}), dense_x, None,
+                                  cfg, emb_rows=ly)
+            return dlrm_loss(logits, labels, tcfg.loss_function,
+                             tcfg.loss_weights)
+
+        loss, (g_dense, g_ly) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            dense_params, ly_local)
+        loss = jax.lax.pmean(loss, AXIS)
+        g_dense = jax.lax.pmean(g_dense, AXIS)
+
+        lr = lr_fn(step)
+        new_dstate, new_dense = dense_update(dstate if dstate else {},
+                                             dense_params, g_dense, lr)
+
+        # sparse updates on the local table stack: g_ly [B, Tl, D] covers the
+        # FULL batch for local tables (no all-gather needed — this mode's
+        # advantage), scaled from local-mean to global-mean loss
+        g_ly = g_ly / n_dev
+        new_stack = stack_local
+        new_row_state = row_state_local
+        for tl in range(Tl):
+            gt = shard * Tl + tl
+            col = jnp.take(idx_full, jnp.minimum(gt, T - 1), axis=1)
+            uniq, summed, valid = dedup_rows(col, g_ly[:, tl, :], B)
+            st = (new_row_state[tl] if new_row_state is not None else None)
+            new_st, new_tab = sparse_update(st, new_stack[tl], uniq, summed,
+                                            valid, lr)
+            new_stack = new_stack.at[tl].set(new_tab)
+            if new_st is not None:
+                new_row_state = new_row_state.at[tl].set(new_st)
+        return new_dense, new_stack, new_dstate, new_row_state, loss
+
+    def build(dense_params, stack, dstate, row_state):
+        dense_spec = jax.tree_util.tree_map(lambda _: P(), dense_params)
+        dstate_spec = jax.tree_util.tree_map(lambda _: P(), dstate)
+        stack_spec = P(AXIS, None, None)
+        row_spec = (P(AXIS, None) if row_state is not None else None)
+        in_specs = (dense_spec, stack_spec, dstate_spec, row_spec, P(),
+                    P(AXIS), P(), P(AXIS))
+        out_specs = (dense_spec, stack_spec, dstate_spec, row_spec, P())
+        fn = jax.shard_map(local_step, mesh=mesh, in_specs=in_specs,
+                           out_specs=out_specs, check_vma=False)
+        return jax.jit(fn, donate_argnums=(1, 3))
+
+    return build
+
+
+def init_butterfly_state(params: DLRMParams, tcfg: TrainConfig, mesh: Mesh):
+    """(dense_params, stack, dense_opt_state, row_state) device_put with
+    shardings."""
+    opt_init, _, _ = make_optimizer(tcfg.optimizer)
+    n_dev = mesh.shape[AXIS]
+    stack, T = stack_tables(params, n_dev)
+    if tcfg.optimizer == "sgd":
+        dstate = {}
+        row_state = None
+    else:
+        dstate = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p, dtype=jnp.float32), params.dense)
+        if tcfg.optimizer == "rwsadagrad":
+            row_state = jnp.zeros(stack.shape[:2], jnp.float32)
+        else:
+            row_state = jnp.zeros(stack.shape, jnp.float32)
+    dense = jax.device_put(params.dense, NamedSharding(mesh, P()))
+    stack = jax.device_put(stack, NamedSharding(mesh, P(AXIS, None, None)))
+    if row_state is not None:
+        spec = P(AXIS, None) if row_state.ndim == 2 else P(AXIS, None, None)
+        row_state = jax.device_put(row_state, NamedSharding(mesh, spec))
+    return dense, stack, dstate, row_state

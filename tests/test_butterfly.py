@@ -1,0 +1,98 @@
+"""Butterfly (table-wise all_to_all) mode vs single-device reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from evstore_tpu.config import TrainConfig, make_dlrm_config
+from evstore_tpu.models.dlrm import DLRMParams, init_dlrm
+from evstore_tpu.parallel.butterfly import (AXIS, init_butterfly_state,
+                                            make_butterfly_train_step,
+                                            stack_tables, unstack_tables)
+from evstore_tpu.train.train_loop import init_opt_state, make_train_step
+from jax.sharding import Mesh
+
+
+def _mesh(n=8):
+    return Mesh(np.asarray(jax.devices()[:n]), (AXIS,))
+
+
+def _cfg():
+    # 8 uniform-ish tables so the stack pads little
+    return make_dlrm_config(4, (40, 40, 40, 40, 30, 30, 30, 30),
+                            (8,), (8,), num_dense=4)
+
+
+def _batch(cfg, B, seed=0):
+    rng = np.random.default_rng(seed)
+    dense = jnp.asarray(rng.random((B, cfg.num_dense_features)), jnp.float32)
+    idx = jnp.asarray(
+        np.stack([rng.integers(0, s, B) for s in cfg.table_sizes], axis=1),
+        jnp.int32)
+    labels = jnp.asarray(rng.integers(0, 2, B), jnp.float32)
+    return dense, idx, labels
+
+
+def test_stack_unstack_roundtrip():
+    cfg = _cfg()
+    params = init_dlrm(jax.random.PRNGKey(0), cfg)
+    stack, T = stack_tables(params, 8)
+    assert stack.shape == (8, 40, 4) and T == 8
+    back = unstack_tables(stack, params)
+    for t in range(T):
+        np.testing.assert_array_equal(
+            np.asarray(back.sparse[f"table_{t}"]["kind_plain"]),
+            np.asarray(params.sparse[f"table_{t}"]["kind_plain"]))
+
+
+@pytest.mark.parametrize("opt", ["sgd", "rwsadagrad"])
+def test_butterfly_matches_single_device(opt):
+    cfg = _cfg()
+    tcfg = TrainConfig(batch_size=16, learning_rate=0.1, optimizer=opt)
+    params = init_dlrm(jax.random.PRNGKey(0), cfg)
+    dense, idx, labels = _batch(cfg, 16)
+
+    step1 = jax.jit(make_train_step(cfg, tcfg))
+    p1, o1, loss1 = step1(params, init_opt_state(params, tcfg), dense, idx,
+                          labels)
+
+    mesh = _mesh(8)
+    d0, stack, dstate, row_state = init_butterfly_state(params, tcfg, mesh)
+    step = make_butterfly_train_step(cfg, tcfg, mesh, 16)(
+        d0, stack, dstate, row_state)
+    d1, stack1, _, _, lossN = step(d0, stack, dstate, row_state,
+                                   jnp.zeros((), jnp.int32), dense, idx,
+                                   labels)
+    np.testing.assert_allclose(float(lossN), float(loss1), rtol=1e-5)
+    pN = unstack_tables(stack1, params)
+    for t in range(cfg.num_tables):
+        np.testing.assert_allclose(
+            np.asarray(pN.sparse[f"table_{t}"]["kind_plain"]),
+            np.asarray(p1.sparse[f"table_{t}"]["kind_plain"]),
+            rtol=1e-4, atol=1e-6, err_msg=f"table_{t}")
+    np.testing.assert_allclose(
+        np.asarray(d1["bot"]["layer_0"]["w"]),
+        np.asarray(p1.dense["bot"]["layer_0"]["w"]), rtol=1e-4, atol=1e-6)
+
+
+def test_butterfly_multiple_steps_converge():
+    cfg = _cfg()
+    tcfg = TrainConfig(batch_size=32, learning_rate=0.3, optimizer="rwsadagrad")
+    params = init_dlrm(jax.random.PRNGKey(1), cfg)
+    mesh = _mesh(8)
+    d0, stack, dstate, row_state = init_butterfly_state(params, tcfg, mesh)
+    step = make_butterfly_train_step(cfg, tcfg, mesh, 32)(
+        d0, stack, dstate, row_state)
+    from evstore_tpu.data.synthetic import RandomDataConfig, learnable_batches
+    dcfg = RandomDataConfig(num_dense=4, table_sizes=cfg.table_sizes,
+                            batch_size=32, num_batches=60, seed=0)
+    losses = []
+    k = jnp.zeros((), jnp.int32)
+    for dense, idx, labels in learnable_batches(dcfg):
+        d0, stack, dstate, row_state, loss = step(
+            d0, stack, dstate, row_state, k, jnp.asarray(dense),
+            jnp.asarray(idx), jnp.asarray(labels))
+        k = k + 1
+        losses.append(float(loss))
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])

@@ -1,9 +1,13 @@
-"""Headline benchmark: DLRM training throughput on the Criteo Kaggle config.
+"""Headline benchmark suite, run on real TPU hardware by the round driver.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line to stdout:
+  {"metric": "train_examples_per_s_per_chip", "value": N,
+   "unit": "examples/s", "vs_baseline": N}
+and writes the full suite (training, inference, device-cache tier, native
+engine, latency percentiles) to bench_results.json; progress goes to stderr.
 
 Baseline: the reference trains Criteo Kaggle at ~17.9 ms/it @ batch 128 =
-~7,150 examples/s on an RTX6000/P100-class GPU
+~7,151 examples/s on an RTX6000/P100-class GPU
 (BASELINE.md; logs/sample-train-criteo_kaggle_5mil.txt:75-113).
 """
 
@@ -16,50 +20,173 @@ import numpy as np
 BASELINE_EXAMPLES_PER_S = 128 / 0.0179  # ~7151/s (reference GPU number)
 
 
-def main():
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _batches(cfg, B, n, seed=0, zipf=False):
+    from evstore_tpu.data.synthetic import RandomDataConfig, random_batches
+    dcfg = RandomDataConfig(
+        num_dense=cfg.num_dense_features, table_sizes=cfg.table_sizes,
+        batch_size=B, num_batches=n, seed=seed,
+        distribution="zipf" if zipf else "uniform")
+    return list(random_batches(dcfg))
+
+
+def bench_train(cfg, B=8192, n_steps=60):
     import jax
     import jax.numpy as jnp
-    from evstore_tpu.config import TrainConfig, kaggle_small_dlrm_config
+    from evstore_tpu.config import TrainConfig
     from evstore_tpu.models.dlrm import init_dlrm
     from evstore_tpu.train.train_loop import init_opt_state, make_train_step
 
-    B = 8192
-    cfg = kaggle_small_dlrm_config(max_rows=1_000_000,
-                                   compute_dtype="bfloat16")
     tcfg = TrainConfig(batch_size=B, learning_rate=0.1, optimizer="rwsadagrad")
     params = init_dlrm(jax.random.PRNGKey(0), cfg)
     opt_state = init_opt_state(params, tcfg)
     step = jax.jit(make_train_step(cfg, tcfg), donate_argnums=(0, 1))
-
-    rng = np.random.default_rng(0)
-    n_prebuilt = 8
-    batches = []
-    for _ in range(n_prebuilt):
-        dense = jnp.asarray(rng.random((B, 13)), jnp.float32)
-        idx = jnp.asarray(
-            np.stack([rng.integers(0, s, B) for s in cfg.table_sizes], axis=1),
-            jnp.int32)
-        labels = jnp.asarray(rng.integers(0, 2, B), jnp.float32)
-        batches.append((dense, idx, labels))
-
-    # warmup/compile
+    batches = [(jnp.asarray(d), jnp.asarray(i), jnp.asarray(y))
+               for d, i, y in _batches(cfg, B, 8)]
     params, opt_state, loss = step(params, opt_state, *batches[0])
     jax.block_until_ready(loss)
-
-    n_steps = 60
     t0 = time.perf_counter()
     for i in range(n_steps):
         params, opt_state, loss = step(params, opt_state,
-                                       *batches[i % n_prebuilt])
+                                       *batches[i % len(batches)])
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
+    return n_steps * B / dt
 
-    examples_per_s = n_steps * B / dt
+
+def bench_infer(cfg, B=8192, n_steps=100):
+    import jax
+    import jax.numpy as jnp
+    from evstore_tpu.models.dlrm import init_dlrm, dlrm_forward
+
+    params = init_dlrm(jax.random.PRNGKey(0), cfg)
+
+    @jax.jit
+    def fwd(p, d, i):
+        return jax.nn.sigmoid(dlrm_forward(p, d, i, cfg))
+
+    batches = [(jnp.asarray(d), jnp.asarray(i))
+               for d, i, _ in _batches(cfg, B, 8)]
+    out = fwd(params, *batches[0])
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        out = fwd(params, *batches[i % len(batches)])
+    jax.block_until_ready(out)
+    return n_steps * B / (time.perf_counter() - t0)
+
+
+def bench_device_cache(cfg, B=1024, n_steps=40, cache_rows=200_000):
+    """EVStore C1 tier on-device (native assigner): examples/s + p99
+    per-batch latency with a zipf stream over a host-DRAM backing store."""
+    import jax
+    from evstore_tpu.cache.device_cache import NativeDeviceC1Cache
+    from evstore_tpu.config import CacheConfig
+
+    rng = np.random.default_rng(0)
+    tables = [np.asarray(rng.uniform(-1, 1, (min(s, 300_000), cfg.embedding_dim)),
+                         np.float32) for s in cfg.table_sizes]
+    sizes = [t.shape[0] for t in tables]
+    ccfg = CacheConfig(policy="evlfu", total_size=cache_rows, main_precision=8)
+    dc = NativeDeviceC1Cache(ccfg, cfg.num_tables, cfg.embedding_dim,
+                             insert_bucket=4096).load_tables(tables)
+
+    from evstore_tpu.data.synthetic import RandomDataConfig, random_batches
+    dcfg = RandomDataConfig(num_dense=cfg.num_dense_features,
+                            table_sizes=sizes, batch_size=B,
+                            num_batches=n_steps, seed=1, distribution="zipf",
+                            zipf_alpha=1.1)
+    lats = []
+    n = 0
+    t_start = time.perf_counter()
+    for _, idx, _ in random_batches(dcfg):
+        t0 = time.perf_counter()
+        rows = dc.lookup_batch(idx)
+        jax.block_until_ready(rows) if hasattr(rows, "block_until_ready") else None
+        lats.append(time.perf_counter() - t0)
+        n += B
+    dt = time.perf_counter() - t_start
+    s = dc.stats()
+    return {
+        "examples_per_s": n / dt,
+        "p50_batch_ms": float(np.percentile(lats, 50) * 1e3),
+        "p99_batch_ms": float(np.percentile(lats, 99) * 1e3),
+        "p99_lookup_us_per_req": float(np.percentile(lats, 99) / B * 1e6),
+        "hit_rate": s["hit_rate"],
+        "hbm_mb": s["hbm_bytes"] / 1e6,
+    }
+
+
+def bench_native_engine(cfg, B=1024, n_steps=50):
+    import shutil
+    if shutil.which("g++") is None:
+        return None
+    from evstore_tpu.config import CacheConfig
+    from evstore_tpu.native import NativeTieredCache
+    rng = np.random.default_rng(0)
+    sizes = [min(s, 200_000) for s in cfg.table_sizes]
+    tables = [np.asarray(rng.uniform(-1, 1, (s, cfg.embedding_dim)), np.float32)
+              for s in sizes]
+    ccfg = CacheConfig(policy="evlfu", n_caching_layers=2, total_size=64_000,
+                       main_precision=8, secondary_precision=4)
+    nc = NativeTieredCache(ccfg, cfg.num_tables, cfg.embedding_dim
+                           ).load_tables(tables)
+    import dataclasses
+    from evstore_tpu.data.synthetic import RandomDataConfig, random_batches
+    dcfg = RandomDataConfig(num_dense=1, table_sizes=sizes, batch_size=B,
+                            num_batches=n_steps, seed=2, distribution="zipf",
+                            zipf_alpha=1.1)
+    n = 0
+    t0 = time.perf_counter()
+    for _, idx, _ in random_batches(dcfg):
+        nc.request_batch(idx)
+        n += B
+    dt = time.perf_counter() - t0
+    out = {"requests_per_s": n / dt, **nc.stats()["c1"]}
+    nc.close()
+    return out
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      __file__.rsplit("/", 1)[0] + "/.jax_cache")
+    from evstore_tpu.config import kaggle_small_dlrm_config
+
+    cfg = kaggle_small_dlrm_config(max_rows=1_000_000,
+                                   compute_dtype="bfloat16")
+    results = {"device": str(jax.devices()[0])}
+
+    log("bench: train...")
+    train_eps = bench_train(cfg)
+    results["train_examples_per_s"] = train_eps
+    log(f"  {train_eps:,.0f} examples/s")
+
+    log("bench: inference forward...")
+    results["infer_examples_per_s"] = bench_infer(cfg)
+    log(f"  {results['infer_examples_per_s']:,.0f} examples/s")
+
+    log("bench: device C1 cache (int8 HBM rows, zipf)...")
+    results["device_cache"] = bench_device_cache(cfg)
+    log(f"  {json.dumps(results['device_cache'])}")
+
+    log("bench: native tier engine (C1+C2, 8/4-bit)...")
+    ne = bench_native_engine(cfg)
+    if ne:
+        results["native_engine"] = ne
+        log(f"  {json.dumps(ne)}")
+
+    with open(__file__.rsplit("/", 1)[0] + "/bench_results.json", "w") as f:
+        json.dump(results, f, indent=1)
+
     print(json.dumps({
         "metric": "train_examples_per_s_per_chip",
-        "value": round(examples_per_s, 1),
+        "value": round(train_eps, 1),
         "unit": "examples/s",
-        "vs_baseline": round(examples_per_s / BASELINE_EXAMPLES_PER_S, 2),
+        "vs_baseline": round(train_eps / BASELINE_EXAMPLES_PER_S, 2),
     }))
 
 

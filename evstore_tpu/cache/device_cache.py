@@ -238,3 +238,81 @@ class DeviceC1Cache:
                              * (1 if self.precision == 8 else 4)),
             "bytes_shipped": self.bytes_shipped,
         }
+
+
+class NativeDeviceC1Cache:
+    """DeviceC1Cache with the policy/free-list/miss-IO in the C++ engine
+    (NativeAssigner) — the production configuration: per batch, one C call
+    produces (slots, scatter, miss buffer) and one jitted apply runs on the
+    TPU.  The Python per-key loop of DeviceC1Cache (~0.3 ms/request) becomes
+    ~1-2 us/request."""
+
+    def __init__(self, cfg: CacheConfig, n_tables: int, dim: int,
+                 insert_bucket: int = 4096, n_reader_threads: int = 4):
+        if cfg.main_precision not in (32, 8):
+            raise ValueError("device cache supports fp32 or int8 rows")
+        from evstore_tpu.native import NativeAssigner, NativeTieredCache
+        self.cfg = cfg
+        self.n_tables = n_tables
+        self.dim = dim
+        self.capacity = cfg.total_size
+        self.insert_bucket = insert_bucket
+        self.precision = cfg.main_precision
+        # the engine provides storage + reader pool; its own tiers are unused
+        eng_cfg = CacheConfig(policy="evlfu", n_caching_layers=1, total_size=1)
+        self.engine = NativeTieredCache(eng_cfg, n_tables, dim,
+                                        n_reader_threads)
+        self.assigner = NativeAssigner(self.engine, self.capacity,
+                                       cfg.flush_rate, cfg.perfect_item_cap)
+        dtype = jnp.float32 if self.precision == 32 else jnp.uint8
+        self.cache_values = jnp.zeros((self.capacity, dim), dtype)
+        self.bytes_shipped = 0
+
+    def load_tables(self, tables):
+        self.engine.load_tables(tables)
+        return self
+
+    def open_table_files(self, bin_dir, table_sizes, precision=32):
+        self.engine.open_table_files(bin_dir, table_sizes, precision)
+        return self
+
+    def lookup_batch(self, idx: np.ndarray, as_numpy: bool = False):
+        slots, scat_slots, scat_m, buf = self.assigner.assign_batch(idx)
+        bk = self.insert_bucket
+        M = buf.shape[0]
+        Mp = max(bk, ((M + bk - 1) // bk) * bk)
+        buf_p = np.zeros((Mp, self.dim), np.float32)
+        buf_p[:M] = buf
+        ss = np.full((Mp,), self.capacity, np.int32)
+        sm = np.zeros((Mp,), np.int32)
+        ss[:len(scat_slots)] = scat_slots
+        sm[:len(scat_m)] = scat_m
+        if self.precision == 8:
+            from evstore_tpu.ops.quant import np_quantize_int8
+            payload = np_quantize_int8(buf_p)
+            self.bytes_shipped += Mp * self.dim
+            self.cache_values, out = _apply_u8(
+                self.cache_values, jnp.asarray(slots), jnp.asarray(ss),
+                jnp.asarray(sm), jnp.asarray(payload))
+        else:
+            self.bytes_shipped += Mp * self.dim * 4
+            self.cache_values, out = _apply_fp32(
+                self.cache_values, jnp.asarray(slots), jnp.asarray(ss),
+                jnp.asarray(sm), jnp.asarray(buf_p))
+        return np.asarray(out) if as_numpy else out
+
+    def request_batch(self, idx: np.ndarray) -> np.ndarray:
+        return self.lookup_batch(idx, as_numpy=True)
+
+    def stats(self) -> dict:
+        s = self.assigner.stats()
+        s.update({
+            "capacity": self.capacity,
+            "hbm_bytes": int(self.capacity * self.dim
+                             * (1 if self.precision == 8 else 4)),
+            "bytes_shipped": self.bytes_shipped,
+        })
+        return s
+
+    def close(self):
+        self.engine.close()

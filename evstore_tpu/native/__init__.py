@@ -52,6 +52,24 @@ def _load_lib():
     lib.esv_stats.argtypes = [ctypes.c_void_p,
                               np.ctypeslib.ndpointer(np.float64)]
     lib.esv_close.argtypes = [ctypes.c_void_p]
+    # device-cache slot assignment mode
+    lib.esv_assign_init.restype = ctypes.c_void_p
+    lib.esv_assign_init.argtypes = [ctypes.c_void_p, ctypes.c_long,
+                                    ctypes.c_float, ctypes.c_float]
+    lib.esv_assign_batch.restype = ctypes.c_long
+    lib.esv_assign_batch.argtypes = [
+        ctypes.c_void_p,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_long,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        ctypes.c_long,
+        ctypes.POINTER(ctypes.c_long)]
+    lib.esv_assign_stats.argtypes = [ctypes.c_void_p,
+                                     np.ctypeslib.ndpointer(np.float64)]
+    lib.esv_assign_close.argtypes = [ctypes.c_void_p]
     return lib
 
 
@@ -138,6 +156,9 @@ class NativeTieredCache:
 
     def close(self):
         if self._h is not None:
+            if getattr(self, "_assign_h", None) is not None:
+                self._lib.esv_assign_close(self._assign_h)
+                self._assign_h = None
             self._lib.esv_close(self._h)
             self._h = None
 
@@ -146,3 +167,45 @@ class NativeTieredCache:
             self.close()
         except Exception:
             pass
+
+
+class NativeAssigner:
+    """Slot-assignment front-end for the device (HBM) C1 cache: the EvLFU
+    policy + free-list + miss fetch run in C++; Python receives gather
+    indices, a scatter list, and the miss-row buffer per batch."""
+
+    def __init__(self, engine: NativeTieredCache, capacity: int,
+                 flush_rate: float = 0.3, perfect_item_cap: float = 0.95):
+        self.engine = engine
+        self.capacity = int(capacity)
+        self.dim = engine.dim
+        self.n_tables = engine.n_tables
+        self._lib = engine._lib
+        self._h = self._lib.esv_assign_init(
+            engine._h, self.capacity, flush_rate, perfect_item_cap)
+        engine._assign_h = self._h     # engine owns teardown
+
+    def assign_batch(self, idx: np.ndarray):
+        """idx [B, T] -> (slots [B,T] i32, scat_slots [n] i32,
+        scat_m [n] i32, buf [n_buf, D] f32)."""
+        idx = np.ascontiguousarray(idx, np.int64)
+        B, T = idx.shape
+        maxM = B * T
+        slots = np.empty((B, T), np.int32)
+        scat_slots = np.empty(maxM, np.int32)
+        scat_m = np.empty(maxM, np.int32)
+        buf = np.empty((maxM, self.dim), np.float32)
+        n_scat = ctypes.c_long(0)
+        n_buf = self._lib.esv_assign_batch(
+            self._h, idx.reshape(-1), B, slots.reshape(-1), scat_slots,
+            scat_m, buf.reshape(-1), maxM, ctypes.byref(n_scat))
+        if n_buf < 0:
+            raise RuntimeError("esv_assign_batch: buffer overflow")
+        return (slots, scat_slots[:n_scat.value], scat_m[:n_scat.value],
+                buf[:n_buf])
+
+    def stats(self) -> dict:
+        s = np.zeros(4, np.float64)
+        self._lib.esv_assign_stats(self._h, s)
+        return {"requests": int(s[0]), "perfect_hits": int(s[1]),
+                "size": int(s[2]), "hit_rate": float(s[3])}

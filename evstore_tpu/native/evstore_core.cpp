@@ -210,17 +210,26 @@ class EvLFUTier {
     return it == map_.end() ? nullptr : it->second;
   }
 
-  // EvLFU_C1.py:32-63 / evlfu_8.cpp setKey:252-300
+  // EvLFU_C1.py:32-63 / evlfu_8.cpp setKey:252-300.  evicted_slots (assign
+  // mode only, payload = int32 slot) receives the freed cache slots.
   void set(uint64_t k, const uint8_t* val, int agg,
-           std::vector<uint64_t>* evicted) {
+           std::vector<uint64_t>* evicted,
+           std::vector<int32_t>* evicted_slots = nullptr) {
+    auto drop = [&](Entry* e) {
+      if (evicted) evicted->push_back(e->key);
+      if (evicted_slots) {
+        int32_t s;
+        memcpy(&s, e->value, 4);
+        evicted_slots->push_back(s);
+      }
+      map_.erase(e->key);
+      free(e);
+    };
     if (n_perfect_ >= max_perfect_ && max_perfect_ > 0) {
       size_t n_evict = (size_t)(flush_rate_ * cap_) + 1;
       Bucket& pb = buckets_[n_tables_];
       for (size_t i = 0; i < n_evict && pb.size > 0; i++) {
-        Entry* e = pb.pop_front();
-        if (evicted) evicted->push_back(e->key);
-        map_.erase(e->key);
-        free(e);
+        drop(pb.pop_front());
       }
       n_perfect_ = pb.size;
     } else if (map_.size() >= cap_) {
@@ -228,10 +237,7 @@ class EvLFUTier {
         min_agg_++;
         if (min_agg_ > n_tables_) min_agg_ = 1;  // wrap (EvLFU_C1.py:52-54)
       }
-      Entry* e = buckets_[min_agg_].pop_front();
-      if (evicted) evicted->push_back(e->key);
-      map_.erase(e->key);
-      free(e);
+      drop(buckets_[min_agg_].pop_front());
     }
     Entry* e = (Entry*)malloc(sizeof(Entry) + nb_);
     e->key = k; e->agg = agg;
@@ -653,9 +659,205 @@ struct Engine {
 
 }  // namespace
 
+// ------------------------------------------------ device-cache assignment
+//
+// Slot-assignment mode for the TPU-HBM-resident C1 tier
+// (evstore_tpu/cache/device_cache.py): the EvLFU policy runs here (a Python
+// per-key loop is ~2000x slower), producing for each batch
+//   slots[B*T]      gather indices over concat(hbm_cache[C], miss_buf[M])
+//   scat_slots/m    the scatter writing miss rows into their cache slots
+//   buf[M*D]        the fetched miss rows (fp32)
+// with the same aliasing discipline as the Python reference: rows inserted
+// this call are gathered from the buffer; slots gathered as hits are pinned
+// until the call returns; a starved insert defers HBM residency (NO_SLOT).
+
+struct DeviceAssign {
+  int64_t capacity = 0;
+  static constexpr int32_t kNoSlot = -1;
+  EvLFUTier* policy = nullptr;          // payload = int32 slot
+  std::vector<int32_t> free_list;
+  std::vector<int32_t> pending;         // freed this call
+  std::vector<uint8_t> pinned;          // per-slot flag, this call
+  uint64_t n_requests = 0, n_perfect = 0;
+
+  void init(int64_t cap, int n_tables, float flush_rate, float perfect_cap) {
+    capacity = cap;
+    // reuse EvLFUTier with a 4-byte payload (precision 32, dim 1)
+    policy = new EvLFUTier((size_t)cap, n_tables, flush_rate, perfect_cap,
+                           32, 1);
+    free_list.reserve(cap);
+    for (int64_t s = cap - 1; s >= 0; s--) free_list.push_back((int32_t)s);
+    pinned.assign(cap, 0);
+  }
+  ~DeviceAssign() { delete policy; }
+
+  void sweep() {
+    std::vector<int32_t> still;
+    for (int32_t s : pending) {
+      if (pinned[s]) still.push_back(s); else free_list.push_back(s);
+    }
+    pending.swap(still);
+  }
+};
+
+struct AssignHandle {
+  DeviceAssign da;
+  Engine* eng;   // storage + reader pool (not owned)
+};
+
 // ------------------------------------------------------------------ C ABI
 
 extern "C" {
+
+void* esv_assign_init(void* engine, long capacity, float flush_rate,
+                      float perfect_cap) {
+  Engine* e = (Engine*)engine;
+  AssignHandle* ah = new AssignHandle();
+  ah->eng = e;
+  ah->da.init(capacity, e->n_tables, flush_rate, perfect_cap);
+  return ah;
+}
+
+// One call = one segment.  Returns n_buf (rows written to out_buf);
+// *out_n_scat = entries in out_scat_slots/out_scat_m.  out_slots are gather
+// indices over concat(hbm_cache[capacity], out_buf[n_buf]).
+long esv_assign_batch(void* h, const int64_t* idx, long B,
+                      int32_t* out_slots, int32_t* out_scat_slots,
+                      int32_t* out_scat_m, float* out_buf, long maxM,
+                      long* out_n_scat) {
+  AssignHandle* ah = (AssignHandle*)h;
+  DeviceAssign& da = ah->da;
+  Engine* eng = ah->eng;
+  const int T = eng->n_tables;
+  const int D = eng->dim;
+  const int32_t C = (int32_t)da.capacity;
+  EvLFUTier* pol = da.policy;
+
+  std::unordered_map<uint64_t, int32_t> seg_buf;   // key -> C + m
+  std::unordered_map<int32_t, int32_t> scat;       // slot -> m
+  std::vector<std::pair<int, int64_t>> buf_keys;   // fetches, per m
+  std::vector<int32_t> evicted_slots;
+
+  auto take_slot = [&]() -> int32_t {
+    if (da.free_list.empty()) da.sweep();
+    if (da.free_list.empty()) return DeviceAssign::kNoSlot;
+    int32_t s = da.free_list.back();
+    da.free_list.pop_back();
+    return s;
+  };
+
+  auto buffer_serve = [&](uint64_t key, int t, int64_t row) -> int32_t {
+    int32_t m = (int32_t)buf_keys.size();
+    buf_keys.push_back({t, row});
+    seg_buf[key] = C + m;
+    return C + m;
+  };
+
+  long n_requests = 0;
+  for (long b = 0; b < B; b++) {
+    int agg = 0;
+    const int64_t* rows = idx + b * T;
+    pol->n_lookups += T;
+    bool hits[64];
+    for (int t = 0; t < T; t++) {
+      uint64_t k = make_key(t, rows[t]);
+      hits[t] = pol->find(k) != nullptr;
+      if (hits[t]) { agg++; pol->n_hits++; }
+    }
+    for (int t = 0; t < T; t++) {
+      uint64_t k = make_key(t, rows[t]);
+      int32_t out;
+      if (hits[t]) {
+        const uint8_t* v = pol->update_agg(k, agg);
+        if (v == nullptr) {
+          // evicted earlier this segment: reinsert
+          evicted_slots.clear();
+          pol->set(k, (const uint8_t*)&DeviceAssign::kNoSlot, agg, nullptr,
+                   &evicted_slots);
+          for (int32_t s : evicted_slots)
+            if (s >= 0) da.pending.push_back(s);
+          out = buffer_serve(k, t, rows[t]);
+          int32_t slot = take_slot();
+          if (slot >= 0) {
+            Entry* e = pol->find(k);
+            memcpy(e->value, &slot, 4);
+            scat[slot] = out - C;
+          }
+        } else {
+          int32_t slot;
+          memcpy(&slot, v, 4);
+          auto it = seg_buf.find(k);
+          if (it != seg_buf.end()) {
+            out = it->second;              // inserted this segment
+          } else if (slot == DeviceAssign::kNoSlot) {
+            out = buffer_serve(k, t, rows[t]);
+            int32_t s2 = take_slot();
+            if (s2 >= 0) {
+              Entry* e = pol->find(k);
+              memcpy(e->value, &s2, 4);
+              scat[s2] = out - C;
+            }
+          } else {
+            da.pinned[slot] = 1;
+            out = slot;
+          }
+        }
+      } else {
+        evicted_slots.clear();
+        pol->set(k, (const uint8_t*)&DeviceAssign::kNoSlot, agg, nullptr,
+                 &evicted_slots);
+        for (int32_t s : evicted_slots)
+          if (s >= 0) da.pending.push_back(s);
+        out = buffer_serve(k, t, rows[t]);
+        int32_t slot = take_slot();
+        if (slot >= 0) {
+          Entry* e = pol->find(k);
+          memcpy(e->value, &slot, 4);
+          scat[slot] = out - C;
+        }
+      }
+      out_slots[b * T + t] = out;
+    }
+    da.n_requests++;
+    n_requests++;
+    if (agg == T) { da.n_perfect++; pol->note_perfect(); }
+    if ((long)buf_keys.size() > maxM) return -1;   // caller buffer too small
+  }
+
+  // batched parallel fetch of all buffer rows through the reader pool
+  std::vector<ReadJob> jobs;
+  jobs.reserve(buf_keys.size());
+  for (size_t m = 0; m < buf_keys.size(); m++) {
+    jobs.push_back({buf_keys[m].first, buf_keys[m].second,
+                    out_buf + m * (size_t)D});
+  }
+  eng->pool.run(jobs);
+
+  long n_scat = 0;
+  for (auto& kv : scat) {
+    out_scat_slots[n_scat] = kv.first;
+    out_scat_m[n_scat] = kv.second;
+    n_scat++;
+  }
+  *out_n_scat = n_scat;
+
+  // segment ends with the device apply on the caller's side
+  std::fill(da.pinned.begin(), da.pinned.end(), 0);
+  da.sweep();
+  return (long)buf_keys.size();
+}
+
+void esv_assign_stats(void* h, double* out) {
+  AssignHandle* ah = (AssignHandle*)h;
+  out[0] = (double)ah->da.n_requests;
+  out[1] = (double)ah->da.n_perfect;
+  out[2] = (double)ah->da.policy->size();
+  out[3] = ah->da.policy->n_lookups
+               ? (double)ah->da.policy->n_hits / ah->da.policy->n_lookups
+               : 0.0;
+}
+
+void esv_assign_close(void* h) { delete (AssignHandle*)h; }
 
 void* esv_init(int n_tables, int dim, int n_layers,
                long c1_cap, long c2_cap, long c3_cap,

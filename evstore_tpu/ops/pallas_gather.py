@@ -102,6 +102,9 @@ def gather_rows_dequant_int8(table_u8: jax.Array, idx: jax.Array, *,
                          "int8 gather")
     words = jax.lax.bitcast_convert_type(
         table_u8.reshape(N, D // 4, 4), jnp.int32)          # [N, D/4]
+    if (D // 4) % 128 != 0 and not interpret:
+        # Mosaic DMA row slices need 128-lane alignment; fall back to XLA
+        return gather_rows_dequant_int8_ref(table_u8, idx)
     gathered = gather_rows(words, idx, tile_b=tile_b, interpret=interpret)
     shifts = jnp.asarray([0, 8, 16, 24], jnp.int32)         # little-endian
     bytes_ = (gathered[..., None] >> shifts) & 0xFF          # [B, D/4, 4]
@@ -113,6 +116,20 @@ def gather_rows_dequant_int8(table_u8: jax.Array, idx: jax.Array, *,
 
 def gather_rows_ref(table: jax.Array, idx: jax.Array) -> jax.Array:
     return jnp.take(table, idx, axis=0)
+
+
+def gather_rows_auto(table: jax.Array, idx: jax.Array,
+                     tile_b: int = 256) -> jax.Array:
+    """Pick the Pallas DMA gather when the row is lane-aligned (D % 128 == 0,
+    4-byte dtype, TPU backend, B divisible by the tile) — it beats the XLA
+    gather by ~5-10% on v5e — else the XLA gather."""
+    D = table.shape[1]
+    B = idx.shape[0]
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if (on_tpu and D % 128 == 0 and table.dtype.itemsize == 4
+            and B % min(tile_b, B) == 0):
+        return gather_rows(table, idx, tile_b=tile_b)
+    return gather_rows_ref(table, idx)
 
 
 def gather_rows_dequant_int8_ref(table_u8: jax.Array, idx: jax.Array) -> jax.Array:

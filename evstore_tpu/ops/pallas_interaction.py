@@ -25,32 +25,33 @@ from evstore_tpu.ops.interaction import _tril_indices
 
 
 @functools.lru_cache(maxsize=None)
-def _selection_matrix(num_features: int, self_interaction: bool) -> np.ndarray:
-    """[F*F, P] 0/1 matrix mapping flattened gram entries to tril pairs."""
+def _row_selectors(num_features: int, self_interaction: bool) -> np.ndarray:
+    """[F, F, P] stack of selectors: M[f][g, p] == 1 iff pair p is
+    (li=f, lj=g).  Mosaic cannot reshape [Bt, F, F] -> [Bt, F*F] (lane-dim
+    merging), so the tril extraction runs as F accumulation matmuls
+    pairs += gram[:, f, :] @ M[f] — all MXU, no reshapes."""
     li, lj = _tril_indices(num_features, self_interaction)
     P = len(li)
-    sel = np.zeros((num_features * num_features, P), np.float32)
+    sel = np.zeros((num_features, num_features, P), np.float32)
     for p, (i, j) in enumerate(zip(li, lj)):
-        sel[i * num_features + j, p] = 1.0
+        sel[i, j, p] = 1.0
     return sel
 
 
 def _interaction_kernel(x_ref, ly_ref, sel_ref, out_ref):
-    tile_b = x_ref.shape[0]
-    D = x_ref.shape[1]
     F = ly_ref.shape[1] + 1
     x = x_ref[:].astype(jnp.float32)
     feats = jnp.concatenate([x[:, None, :], ly_ref[:].astype(jnp.float32)],
                             axis=1)                      # [Bt, F, D]
     gram = jax.lax.dot_general(
-        feats, feats,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)               # [Bt, F, F]
-    flat = gram.reshape(tile_b, F * F)
-    pairs = jnp.dot(flat, sel_ref[:],
-                    preferred_element_type=jnp.float32)   # [Bt, P]
-    out_ref[:, :D] = x
-    out_ref[:, D:] = pairs
+        feats, feats, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # [Bt, F, F]
+    P = sel_ref.shape[2]
+    pairs = jnp.zeros((x.shape[0], P), jnp.float32)
+    for f in range(F):
+        pairs = pairs + jnp.dot(gram[:, f, :], sel_ref[f],
+                                preferred_element_type=jnp.float32)
+    out_ref[:] = jnp.concatenate([x, pairs], axis=1).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit,
@@ -63,8 +64,8 @@ def dot_interaction_pallas(x: jax.Array, ly: jax.Array,
     B, D = x.shape
     T = ly.shape[1]
     F = T + 1
-    sel = jnp.asarray(_selection_matrix(F, self_interaction))
-    P = sel.shape[1]
+    sel = _row_selectors(F, self_interaction)
+    P = sel.shape[2]
     tile_b = min(tile_b, B)
     if B % tile_b != 0:
         raise ValueError(f"B={B} not divisible by tile_b={tile_b}")
@@ -75,7 +76,7 @@ def dot_interaction_pallas(x: jax.Array, ly: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_b, T, D), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((F * F, P), lambda i: (0, 0),
+            pl.BlockSpec((F, F, P), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile_b, D + P), lambda i: (i, 0),
@@ -86,4 +87,4 @@ def dot_interaction_pallas(x: jax.Array, ly: jax.Array,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, D + P), x.dtype),
         interpret=interpret,
-    )(x, ly, sel.astype(x.dtype))
+    )(x, ly, jnp.asarray(sel))

@@ -1,0 +1,103 @@
+"""Native-assigner device cache: parity with the Python DeviceC1Cache."""
+
+import shutil
+
+import numpy as np
+import pytest
+
+from evstore_tpu.cache.device_cache import DeviceC1Cache, NativeDeviceC1Cache
+from evstore_tpu.cache.storage import StorageManager
+from evstore_tpu.config import CacheConfig
+
+pytestmark = pytest.mark.skipif(shutil.which("g++") is None,
+                                reason="no g++ toolchain")
+
+N_TABLES, DIM = 4, 8
+
+
+@pytest.fixture
+def setup(rng):
+    tables = [rng.uniform(-0.9, 0.9, (50, DIM)).astype(np.float32)
+              for _ in range(N_TABLES)]
+    sm = StorageManager("dummy", dim=DIM).load(tables=tables)
+    return sm, tables
+
+
+def test_native_device_cache_exact_rows(setup):
+    sm, tables = setup
+    cfg = CacheConfig(policy="evlfu", total_size=40, main_precision=32)
+    dc = NativeDeviceC1Cache(cfg, N_TABLES, DIM,
+                             insert_bucket=16).load_tables(tables)
+    idx = np.array([[1, 2, 3, 4], [5, 6, 7, 8], [1, 2, 3, 4]])
+    out = dc.request_batch(idx)
+    for b in range(3):
+        for t in range(N_TABLES):
+            np.testing.assert_allclose(out[b, t], tables[t][idx[b, t]],
+                                       rtol=1e-6)
+    s = dc.stats()
+    assert s["requests"] == 3
+    dc.close()
+
+
+def test_native_device_cache_matches_python(setup, rng):
+    """Same stream -> same rows + same policy counters as the Python
+    DeviceC1Cache and hence the host TieredCache."""
+    sm, tables = setup
+    cfg = CacheConfig(policy="evlfu", total_size=24, main_precision=32)
+    py = DeviceC1Cache(cfg, sm, N_TABLES, DIM, insert_bucket=32)
+    nc = NativeDeviceC1Cache(cfg, N_TABLES, DIM,
+                             insert_bucket=32).load_tables(tables)
+    stream = np.stack([rng.integers(0, 12, N_TABLES) for _ in range(200)])
+    # feed in chunks to exercise cross-batch state
+    outs_p, outs_n = [], []
+    for s in range(0, 200, 40):
+        outs_p.append(py.lookup_batch(stream[s:s + 40]))
+        outs_n.append(nc.request_batch(stream[s:s + 40]))
+    np.testing.assert_allclose(np.concatenate(outs_n),
+                               np.concatenate(outs_p), rtol=1e-6)
+    sp, sn = py.stats(), nc.stats()
+    assert sn["requests"] == sp["requests"]
+    assert sn["perfect_hits"] == sp["perfect_hits"]
+    assert sn["hit_rate"] == pytest.approx(sp["hit_rate"])
+    assert sn["size"] == sp["size"]
+    nc.close()
+
+
+def test_native_device_cache_int8(setup):
+    sm, tables = setup
+    cfg = CacheConfig(policy="evlfu", total_size=40, main_precision=8)
+    dc = NativeDeviceC1Cache(cfg, N_TABLES, DIM,
+                             insert_bucket=16).load_tables(tables)
+    out = dc.request_batch(np.array([[1, 2, 3, 4]]))
+    for t in range(N_TABLES):
+        assert np.max(np.abs(out[0, t] - tables[t][t + 1])) < 0.01
+    dc.close()
+
+
+def test_native_device_cache_file_backed(setup, tmp_path):
+    from evstore_tpu.cache.storage import write_ev_tables_binary
+    sm, tables = setup
+    write_ev_tables_binary(tables, str(tmp_path), 32)
+    cfg = CacheConfig(policy="evlfu", total_size=40, main_precision=32)
+    dc = NativeDeviceC1Cache(cfg, N_TABLES, DIM, insert_bucket=16,
+                             n_reader_threads=3)
+    dc.open_table_files(str(tmp_path), [50] * N_TABLES)
+    out = dc.request_batch(np.array([[9, 9, 9, 9]]))
+    for t in range(N_TABLES):
+        np.testing.assert_allclose(out[0, t], tables[t][9], rtol=1e-6)
+    dc.close()
+
+
+def test_native_device_cache_throughput(setup, rng):
+    import time
+    sm, tables = setup
+    cfg = CacheConfig(policy="evlfu", total_size=40, main_precision=32)
+    py = DeviceC1Cache(cfg, sm, N_TABLES, DIM, insert_bucket=64)
+    nc = NativeDeviceC1Cache(cfg, N_TABLES, DIM,
+                             insert_bucket=64).load_tables(tables)
+    stream = np.stack([rng.integers(0, 20, N_TABLES) for _ in range(2000)])
+    py.lookup_batch(stream[:10]); nc.request_batch(stream[:10])  # warm jit
+    t0 = time.perf_counter(); py.lookup_batch(stream); t_py = time.perf_counter() - t0
+    t0 = time.perf_counter(); nc.request_batch(stream); t_nc = time.perf_counter() - t0
+    assert t_nc < t_py, (t_nc, t_py)
+    nc.close()

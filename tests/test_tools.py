@@ -1,0 +1,109 @@
+"""Offline tooling: alt-key generation, precision reduction, profiling."""
+
+import numpy as np
+import pytest
+
+from evstore_tpu.tools.gen_altkeys import (generate_altkeys,
+                                           workload_frequencies,
+                                           write_altkeys_binary)
+from evstore_tpu.tools.reduce_precision import (apply_preconditioning_add_x,
+                                                reduce_tables)
+
+
+@pytest.fixture
+def tables(rng):
+    return [rng.uniform(-0.9, 0.9, (30, 8)).astype(np.float32)
+            for _ in range(3)]
+
+
+def test_altkeys_nearest_neighbor(tables):
+    # make row 5 of table 0 a near-duplicate of row 7 of table 1
+    tables[1][7] = tables[0][5] + 1e-4
+    alts = generate_altkeys(tables, n_neighbors=3)
+    assert len(alts) == 3 and all(len(a) == 30 for a in alts)
+    # altKey codec: (t+1) + 100*row
+    ak = int(alts[0][5])
+    assert ak == 2 + 100 * 7
+    # reverse direction too
+    assert int(alts[1][7]) == 1 + 100 * 5
+
+
+def test_altkeys_popularity_pick(tables):
+    freq = [np.zeros(30), np.zeros(30), np.zeros(30)]
+    # make table2 row 3 hugely popular; it should win whenever it's among
+    # the k neighbors
+    freq[2][3] = 1e6
+    alts = generate_altkeys(tables, workload_freq=freq, n_neighbors=89)
+    popular = sum(int(a) == 3 + 100 * 3 for a in np.concatenate(alts))
+    # with k spanning every other row, the popular row wins for all but itself
+    assert popular == 89
+
+
+def test_altkeys_binary_bigendian(tables, tmp_path):
+    alts = generate_altkeys(tables, n_neighbors=2)
+    paths = write_altkeys_binary(alts, str(tmp_path))
+    raw = np.fromfile(paths[0], dtype=">u4")
+    np.testing.assert_array_equal(raw, alts[0])
+    # and the AltKeyResolver reads them back
+    from evstore_tpu.cache.tiers import AltKeyResolver
+    r = AltKeyResolver(bin_dir=str(tmp_path), table_sizes=[30, 30, 30])
+    assert r([(0, 5)])[0] == int(alts[0][5])
+
+
+def test_workload_frequencies(tmp_path, tables):
+    d = tmp_path / "trace"
+    d.mkdir()
+    (d / "trace-table-1.csv").write_text("1\n1\n2\n")
+    (d / "trace-table-2.csv").write_text("0\n")
+    f = workload_frequencies(str(d), [30, 30, 30])
+    assert f[0][1] == 2 and f[0][2] == 1 and f[1][0] == 1
+    assert f[2].sum() == 0
+
+
+def test_reduce_precision_pipeline(tables, tmp_path):
+    from evstore_tpu.cache.storage import (FileStore, write_ev_tables_binary)
+    src = tmp_path / "ev32"
+    dst = tmp_path / "ev8"
+    write_ev_tables_binary(tables, str(src), 32)
+    reduce_tables(str(src), str(dst), [30, 30, 30], 8, new_precision=8)
+    fs = FileStore(str(dst), [30, 30, 30], 8, precision=8)
+    got = fs.get(1, 3)
+    assert np.max(np.abs(got - tables[1][3])) < 0.01
+    fs.close()
+
+
+def test_preconditioning_add(tables, tmp_path):
+    from evstore_tpu.cache.storage import write_ev_tables_binary, FileStore
+    src = tmp_path / "a"
+    dst = tmp_path / "b"
+    write_ev_tables_binary(tables, str(src), 32)
+    apply_preconditioning_add_x(str(src), str(dst), [30, 30, 30], 8, 0.05)
+    fs = FileStore(str(dst), [30, 30, 30], 8)
+    np.testing.assert_allclose(fs.get(0, 0), tables[0][0] + 0.05, rtol=1e-5)
+    fs.close()
+
+
+def test_reduce_precision_cli(tables, tmp_path):
+    from evstore_tpu.cache.storage import write_ev_tables_binary
+    from evstore_tpu.tools.reduce_precision import main
+    src = tmp_path / "ev32"
+    write_ev_tables_binary(tables, str(src), 32)
+    rc = main(["--in-dir", str(src), "--out-dir", str(tmp_path / "ev4"),
+               "--table-sizes", "30-30-30", "--dim", "8",
+               "--new-precision", "4"])
+    assert rc == 0
+    assert (tmp_path / "ev4" / "ev-table-1.bin").exists()
+
+
+def test_profiling_helpers(tmp_path):
+    import jax.numpy as jnp
+    from evstore_tpu.utils.profiling import StepTimer, profile_trace, span
+    t = StepTimer()
+    t.start()
+    x = jnp.ones(8) * 2
+    t.stop(x)
+    assert t.mean_ms() >= 0
+    with span("test_span"):
+        pass
+    with profile_trace(str(tmp_path / "prof"), enabled=False):
+        pass

@@ -94,6 +94,88 @@ def random_batches(cfg: RandomDataConfig) -> Iterator[Batch]:
         yield dense.astype(np.float32), idx, labels
 
 
+def trace_profile(trace: Sequence[int], max_unique: Optional[int] = None):
+    """LRU stack-distance profile of an access trace
+    (dlrm_data_pytorch.trace_profile:1221): returns (cumm_distances,
+    cumm_probability) — the empirical CDF of reuse stack distances, with
+    distance == len(stack) meaning a cold miss."""
+    stack: list = []
+    pos = {}
+    distances = []
+    for x in trace:
+        if x in pos:
+            i = stack.index(x)            # depth from the top
+            d = len(stack) - 1 - i
+            stack.pop(i)
+            stack.append(x)
+            distances.append(d)
+        else:
+            distances.append(len(stack))  # cold
+            stack.append(x)
+            pos[x] = True
+        if max_unique and len(stack) > max_unique:
+            victim = stack.pop(0)
+            del pos[victim]
+    vals, counts = np.unique(distances, return_counts=True)
+    cdf = np.cumsum(counts) / len(distances)
+    return vals, cdf
+
+
+def trace_generate_lru(line_accesses: np.ndarray, dist_vals: np.ndarray,
+                       dist_cdf: np.ndarray, n: int, seed: int = 0
+                       ) -> np.ndarray:
+    """Synthesize an access trace with a given LRU stack-distance CDF over a
+    pool of line addresses (dlrm_data_pytorch.trace_generate_lru:1168): each
+    step samples a stack distance; in-range -> reuse that depth (moved to
+    the top), out-of-range -> consume a fresh address."""
+    rng = np.random.default_rng(seed)
+    pool = list(line_accesses)
+    stack: list = []
+    out = np.empty(n, np.int64)
+    fresh = 0
+    for i in range(n):
+        u = rng.random()
+        d = int(dist_vals[np.searchsorted(dist_cdf, u, side="left")
+                          % len(dist_vals)])
+        if d < len(stack):
+            x = stack.pop(len(stack) - 1 - d)
+        elif fresh < len(pool):
+            x = pool[fresh]
+            fresh += 1
+        else:
+            x = pool[rng.integers(0, len(pool))]
+            if x in stack:
+                stack.remove(x)
+        stack.append(x)
+        out[i] = x
+    return out
+
+
+def trace_batches(cfg: RandomDataConfig, dist_vals=None, dist_cdf=None
+                  ) -> Iterator[Batch]:
+    """Batches whose sparse indices follow an LRU-stack-distance synthetic
+    trace per table (the reference's --data-generation=synthetic,
+    dlrm_data_pytorch.py:1011-1345).  Default distribution: 80% of reuses
+    within the top-64 stack entries."""
+    if dist_vals is None:
+        dist_vals = np.array([0, 1, 2, 4, 8, 16, 32, 64, 256, 1 << 30])
+        dist_cdf = np.array([0.2, 0.35, 0.45, 0.55, 0.65, 0.72, 0.78, 0.83,
+                             0.92, 1.0])
+    rng = np.random.default_rng(cfg.seed)
+    n_total = cfg.batch_size * cfg.num_batches
+    cols = []
+    for t, s in enumerate(cfg.table_sizes):
+        pool = rng.permutation(s)
+        cols.append(trace_generate_lru(pool, dist_vals, dist_cdf, n_total,
+                                       seed=cfg.seed + t))
+    idx_all = np.stack(cols, axis=1).astype(np.int32)
+    for b in range(cfg.num_batches):
+        dense = rng.random((cfg.batch_size, cfg.num_dense)).astype(np.float32)
+        labels = rng.integers(0, 2, cfg.batch_size).astype(np.float32)
+        yield (dense, idx_all[b * cfg.batch_size:(b + 1) * cfg.batch_size],
+               labels)
+
+
 def learnable_batches(cfg: RandomDataConfig, hidden_seed: int = 42
                       ) -> Iterator[Batch]:
     """Random inputs with labels generated by a hidden linear model so that a

@@ -153,8 +153,13 @@ def init_sparse_arch(key: jax.Array, cfg) -> Dict[str, dict]:
                 k, n, cfg.embedding_dim, int(md_dims[t]), dtype)}
         else:
             bound = float(np.sqrt(1.0 / n))
-            params[f"table_{t}"] = {"kind_plain": jax.random.uniform(
+            entry = {"kind_plain": jax.random.uniform(
                 k, (n, cfg.embedding_dim), dtype=dtype, minval=-bound, maxval=bound)}
+            if cfg.weighted_pooling:
+                # per-row pooling weights v_W (dlrm_s_pytorch.py:284-293);
+                # "learned" trains them, "fixed" keeps ones
+                entry["pool_w"] = jnp.ones((n, 1), dtype)
+            params[f"table_{t}"] = entry
     return params
 
 
@@ -169,5 +174,7 @@ def sparse_arch_lookup(params: Dict[str, dict], idx: jnp.ndarray, cfg) -> jnp.nd
             rows = md_lookup(p["kind_md"], idx[:, t])
         else:
             rows = jnp.take(p["kind_plain"], idx[:, t], axis=0)
+            if "pool_w" in p:
+                rows = rows * jnp.take(p["pool_w"], idx[:, t], axis=0)
         outs.append(rows)
     return jnp.stack(outs, axis=1)

@@ -40,8 +40,8 @@ from evstore_tpu.models.embedding import md_lookup, qr_lookup
 from evstore_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, pad_rows_for_mesh
 from evstore_tpu.train.optim import (OptState, PAD_ROW, dedup_rows,
                                      lr_schedule, make_optimizer)
-from evstore_tpu.train.train_loop import (_merge_sparse, _rows_for_table,
-                                          _split_sparse)
+from evstore_tpu.train.train_loop import (_merge_sparse, _pool_weights,
+                                          _rows_for_table, _split_sparse)
 
 
 def _params_specs(params: DLRMParams) -> DLRMParams:
@@ -64,8 +64,13 @@ def _opt_specs(opt_state: OptState, params_spec: DLRMParams) -> OptState:
     dense_spec = jax.tree_util.tree_map(lambda _: P(), opt_state.dense)
     sparse_spec = {}
     for name, st in opt_state.sparse.items():
-        # row-wise state is sharded like the table's rows
-        sparse_spec[name] = P(MODEL_AXIS) if st.ndim == 1 else P(MODEL_AXIS, None)
+        if name.endswith("__pool_w"):
+            # pooling-weight state mirrors the replicated weights
+            sparse_spec[name] = P()
+        else:
+            # row-wise state is sharded like the table's rows
+            sparse_spec[name] = (P(MODEL_AXIS) if st.ndim == 1
+                                 else P(MODEL_AXIS, None))
     return OptState(step=P(), dense=dense_spec, sparse=sparse_spec)
 
 
@@ -77,7 +82,9 @@ def shard_dlrm_params(params: DLRMParams, mesh: Mesh,
     new_sparse = {}
     for name, p in params.sparse.items():
         if "kind_plain" in p:
-            new_sparse[name] = {"kind_plain": pad_rows_for_mesh(p["kind_plain"], n_model)}
+            entry = dict(p)   # keep pool_w etc. (replicated)
+            entry["kind_plain"] = pad_rows_for_mesh(p["kind_plain"], n_model)
+            new_sparse[name] = entry
         else:
             new_sparse[name] = p
     params = DLRMParams(dense=params.dense, sparse=new_sparse)
@@ -89,7 +96,9 @@ def shard_dlrm_params(params: DLRMParams, mesh: Mesh,
         return params, pspec
     new_sp = {}
     for name, st in opt_state.sparse.items():
-        if st.ndim == 1:
+        if name.endswith("__pool_w"):
+            pass   # replicated, unpadded
+        elif st.ndim == 1:
             target = params.sparse[name]["kind_plain"].shape[0]
             pad = target - st.shape[0]
             st = jnp.concatenate([st, jnp.zeros((pad,), st.dtype)]) if pad else st
@@ -117,12 +126,17 @@ def _local_masked_gather(local_table: jnp.ndarray, idx: jnp.ndarray,
 
 
 def _sharded_lookup(plain_local: Dict, fact: Dict, idx: jnp.ndarray,
-                    plain_rows_in: Dict, cfg: DLRMConfig) -> jnp.ndarray:
+                    plain_rows_in: Dict, cfg: DLRMConfig,
+                    pool_w: Dict = None) -> jnp.ndarray:
     rows = []
     for t in range(cfg.num_tables):
         name = f"table_{t}"
         if name in plain_rows_in:
-            rows.append(plain_rows_in[name])
+            r = plain_rows_in[name]
+            if pool_w and name in pool_w:
+                # pooling weights are replicated; apply post-exchange
+                r = r * jnp.take(pool_w[name], idx[:, t], axis=0)
+            rows.append(r)
         else:
             rows.append(_rows_for_table(name, fact, {}, idx[:, t], cfg))
     return jnp.stack(rows, axis=1)
@@ -155,7 +169,9 @@ def make_sharded_train_step(cfg: DLRMConfig, tcfg: TrainConfig, mesh: Mesh,
         plain_rows = gather_rows(plain_local)
 
         def loss_fn(dense_params, fact_params, plain_rows_in):
-            emb = _sharded_lookup(plain_local, fact_params, idx, plain_rows_in, cfg)
+            emb = _sharded_lookup(plain_local, fact_params, idx,
+                                  plain_rows_in, cfg,
+                                  _pool_weights(params.sparse))
             logits = dlrm_forward(DLRMParams(dense_params, params.sparse),
                                   dense_x, idx, cfg, emb_rows=emb)
             return dlrm_loss(logits, labels, tcfg.loss_function,
@@ -202,10 +218,12 @@ def make_sharded_train_step(cfg: DLRMConfig, tcfg: TrainConfig, mesh: Mesh,
                 new_sstate[name] = new_st
 
         new_params = DLRMParams(dense=new_dense_like["mlp"],
-                                sparse=_merge_sparse(new_plain,
-                                                     new_dense_like["fact"]))
+                                sparse=_merge_sparse(
+                                    new_plain, new_dense_like["fact"],
+                                    _pool_weights(params.sparse)))
         new_opt = OptState(step=opt_state.step + 1, dense=new_dstate,
-                           sparse=new_sstate if new_sstate else opt_state.sparse)
+                           sparse={**opt_state.sparse, **new_sstate}
+                           if opt_state.sparse else {})
         return new_params, new_opt, loss
 
     def build(params: DLRMParams, opt_state: OptState):
@@ -232,7 +250,8 @@ def make_sharded_eval_step(cfg: DLRMConfig, mesh: Mesh):
             t = int(name.split("_")[1])
             parts[name] = _local_masked_gather(tab, idx[:, t], tab.shape[0])
         plain_rows = jax.lax.psum(parts, MODEL_AXIS)
-        emb = _sharded_lookup(plain_local, fact, idx, plain_rows, cfg)
+        emb = _sharded_lookup(plain_local, fact, idx, plain_rows, cfg,
+                              _pool_weights(params.sparse))
         logits = dlrm_forward(params, dense_x, idx, cfg, emb_rows=emb)
         return jax.nn.sigmoid(logits)
 

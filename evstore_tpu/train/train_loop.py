@@ -42,8 +42,17 @@ def _split_sparse(sparse: Dict) -> Tuple[Dict, Dict]:
     return plain, fact
 
 
-def _merge_sparse(plain: Dict, fact: Dict) -> Dict:
+def _pool_weights(sparse: Dict) -> Dict:
+    """Per-row pooling weight vectors v_W of weighted-pooling tables."""
+    return {name: p["pool_w"] for name, p in sparse.items()
+            if "pool_w" in p}
+
+
+def _merge_sparse(plain: Dict, fact: Dict, pool_w: Dict = None) -> Dict:
     out = {name: {"kind_plain": t} for name, t in plain.items()}
+    if pool_w:
+        for name, w in pool_w.items():
+            out[name]["pool_w"] = w
     out.update(fact)
     return out
 
@@ -66,26 +75,35 @@ def make_train_step(cfg: DLRMConfig, tcfg: TrainConfig):
     lr_fn = lr_schedule(tcfg.learning_rate, tcfg.lr_num_warmup_steps,
                         tcfg.lr_decay_start_step, tcfg.lr_num_decay_steps)
 
+    learned_pool = cfg.weighted_pooling == "learned"
+
     def train_step(params: DLRMParams, opt_state: OptState,
                    dense_x, idx, labels):
         plain, fact = _split_sparse(params.sparse)
+        pool_w = _pool_weights(params.sparse)
         # gather rows for plain tables (the only autodiff entry point into them)
         plain_rows = {name: jnp.take(tab, idx[:, int(name.split("_")[1])], axis=0)
                       for name, tab in plain.items()}
+        w_rows = {name: jnp.take(w, idx[:, int(name.split("_")[1])], axis=0)
+                  for name, w in pool_w.items()}
 
-        def loss_fn(dense_params, fact_params, plain_rows_in):
-            rows = [
-                _rows_for_table(f"table_{t}", fact_params, plain_rows_in,
-                                idx[:, t], cfg)
-                for t in range(cfg.num_tables)
-            ]
+        def loss_fn(dense_params, fact_params, plain_rows_in, w_rows_in):
+            rows = []
+            for t in range(cfg.num_tables):
+                name = f"table_{t}"
+                r = _rows_for_table(name, fact_params, plain_rows_in,
+                                    idx[:, t], cfg)
+                if name in w_rows_in:
+                    r = r * w_rows_in[name]
+                rows.append(r)
             emb = jnp.stack(rows, axis=1)
             logits = dlrm_forward(DLRMParams(dense_params, params.sparse),
                                   dense_x, idx, cfg, emb_rows=emb)
             return dlrm_loss(logits, labels, tcfg.loss_function, tcfg.loss_weights)
 
-        loss, (g_dense, g_fact, g_rows) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1, 2))(params.dense, fact, plain_rows)
+        loss, (g_dense, g_fact, g_rows, g_w) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2, 3))(params.dense, fact, plain_rows,
+                                           w_rows)
 
         lr = lr_fn(opt_state.step)
 
@@ -110,10 +128,25 @@ def make_train_step(cfg: DLRMConfig, tcfg: TrainConfig):
             if new_st is not None:
                 new_sstate[name] = new_st
 
+        # learned pooling weights: the same row-wise sparse update on [n, 1]
+        new_pool = dict(pool_w)
+        if learned_pool:
+            for name, w in pool_w.items():
+                t = int(name.split("_")[1])
+                uniq, summed, valid = dedup_rows(idx[:, t], g_w[name], B)
+                st = (opt_state.sparse.get(name + "__pool_w")
+                      if opt_state.sparse else None)
+                new_st, new_w = sparse_update(st, w, uniq, summed, valid, lr)
+                new_pool[name] = new_w
+                if new_st is not None:
+                    new_sstate[name + "__pool_w"] = new_st
+
         new_params = DLRMParams(dense=new_dense,
-                                sparse=_merge_sparse(new_plain, new_fact))
+                                sparse=_merge_sparse(new_plain, new_fact,
+                                                     new_pool))
         new_opt = OptState(step=opt_state.step + 1, dense=new_dstate,
-                           sparse=new_sstate if new_sstate else opt_state.sparse)
+                           sparse={**opt_state.sparse, **new_sstate}
+                           if opt_state.sparse else {})
         return new_params, new_opt, loss
 
     return train_step
@@ -122,8 +155,12 @@ def make_train_step(cfg: DLRMConfig, tcfg: TrainConfig):
 def init_opt_state(params: DLRMParams, tcfg: TrainConfig) -> OptState:
     opt_init, _, _ = make_optimizer(tcfg.optimizer)
     plain, fact = _split_sparse(params.sparse)
+    shim_sparse = dict(plain)
+    for name, w in _pool_weights(params.sparse).items():
+        shim_sparse[name + "__pool_w"] = w
     # state layout must mirror what make_train_step's update path uses
-    shim = DLRMParams(dense={"mlp": params.dense, "fact": fact}, sparse=plain)
+    shim = DLRMParams(dense={"mlp": params.dense, "fact": fact},
+                      sparse=shim_sparse)
     st = opt_init(shim)
     return st
 

@@ -1,0 +1,250 @@
+"""Training DLRM with HBM bounded by the C1 cache tier.
+
+The reference only *infers* through EVStore; its training path holds full
+tables in device memory.  The BASELINE north star asks for **training at
+bounded HBM**: sparse updates must write through the tier.  This module
+implements that:
+
+- Embedding master copies live in host DRAM (numpy tables + rwsAdagrad row
+  accumulators) — the "storage tier" for training.
+- The device holds ONLY the C1 working set: `cache_values [C, D]` fp32 and
+  `cache_mom [C]` (the rows' optimizer state travels with them).
+- Per batch: the native assigner (evstore_core esv_assign_batch_train) runs
+  the EvLFU policy with *deferred slot reuse* and reports evictions; the
+  host (1) snapshots evicted rows+momenta from the device cache and writes
+  them back to DRAM, (2) fetches miss rows+momenta, then (3) one jitted step
+  scatters misses in, runs forward/backward from the cached rows, and
+  applies the row-wise rwsAdagrad update *in HBM*.
+- Gradient targets come from the assigner: a key's update lands on its cache
+  slot if resident, on its miss-buffer copy if not (written back to DRAM
+  after the step), or on its dying pre-eviction cell (carried to DRAM by a
+  second post-step write-back) — no update is dropped.
+
+Exactness: cached training equals full-table rwsAdagrad training except for
+one rare interleaving — a key EVICTED and RE-MISSED within the same batch
+has its gradient applied as two partial updates (early positions to the
+dying cell, late positions to the new home) instead of one summed update.
+Tests measure the resulting drift; it is below fp noise for realistic
+capacities.
+
+HBM footprint: C*(D+1)*4 bytes + MLPs — independent of total table size.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from evstore_tpu.config import CacheConfig, DLRMConfig, TrainConfig
+from evstore_tpu.models.dlrm import DLRMParams, dlrm_forward, dlrm_loss
+from evstore_tpu.train.optim import lr_schedule
+
+
+class TrainableDeviceCache:
+    """HBM-bounded embedding training state + the jitted cached train step."""
+
+    def __init__(self, cfg: DLRMConfig, tcfg: TrainConfig, ccfg: CacheConfig,
+                 tables: Sequence[np.ndarray], insert_bucket: int = 2048,
+                 eps: float = 1e-10):
+        if tcfg.optimizer != "rwsadagrad":
+            raise ValueError("cached training supports rwsadagrad (the "
+                             "reference's sparse optimizer)")
+        from evstore_tpu.native import NativeAssigner, NativeTieredCache
+        self.cfg = cfg
+        self.tcfg = tcfg
+        self.capacity = ccfg.total_size
+        self.dim = cfg.embedding_dim
+        self.n_tables = cfg.num_tables
+        self.insert_bucket = insert_bucket
+        self.eps = eps
+        # host DRAM master copies (owned, writable — np.asarray of a jax
+        # array yields a read-only view)
+        self.host_tables = [np.array(t, np.float32, copy=True)
+                            for t in tables]
+        self.host_mom = [np.zeros(t.shape[0], np.float32) for t in tables]
+        # native assigner over an engine backed by the host tables
+        eng_cfg = CacheConfig(policy="evlfu", n_caching_layers=1, total_size=1)
+        self.engine = NativeTieredCache(eng_cfg, cfg.num_tables, self.dim, 4)
+        # zero-copy borrow: misses must observe the write-backs that mutate
+        # host_tables between batches
+        self.engine.borrow_tables(self.host_tables)
+        self.assigner = NativeAssigner(self.engine, self.capacity,
+                                       ccfg.flush_rate, ccfg.perfect_item_cap)
+        # device working set
+        self.cache_values = jnp.zeros((self.capacity, self.dim), jnp.float32)
+        self.cache_mom = jnp.zeros((self.capacity,), jnp.float32)
+        self.lr_fn = lr_schedule(tcfg.learning_rate, tcfg.lr_num_warmup_steps,
+                                 tcfg.lr_decay_start_step,
+                                 tcfg.lr_num_decay_steps)
+        self.dropped_updates = 0
+        self._step_fn = self._build_step()
+
+    # ------------------------------------------------------------ jit step
+
+    def _build_step(self):
+        cfg, tcfg, eps = self.cfg, self.tcfg, self.eps
+        C = self.capacity
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(cache, mom_c, dense_params, dstate, gather_idx, scat_slots,
+                 scat_m, buf, buf_mom, dense_x, labels, lr):
+            """gather_idx [B, T] indexes concat-space [cache | buf]: the
+            assigner's final residency target per position, so the forward
+            read and the gradient write hit the SAME cell — the cache slot
+            when resident (the scatter made it equal to the buffer copy),
+            the buffer row when not (written back to DRAM after the step),
+            and the dying pre-apply slot for mid-batch-evicted keys (their
+            update is intentionally dropped with the cell)."""
+            # scatter miss rows (+ their momenta) into their cache slots
+            cache = cache.at[scat_slots].set(buf[scat_m], mode="drop")
+            mom_c = mom_c.at[scat_slots].set(buf_mom[scat_m], mode="drop")
+
+            in_cache = gather_idx < C
+            safe_c = jnp.where(in_cache, gather_idx, 0)
+            safe_b = jnp.where(in_cache, 0, gather_idx - C)
+
+            def loss_fn(dparams, cache_in, buf_in):
+                emb = jnp.where(in_cache[..., None],
+                                cache_in[safe_c], buf_in[safe_b])
+                logits = dlrm_forward(DLRMParams(dparams, {}), dense_x, None,
+                                      cfg, emb_rows=emb)
+                return dlrm_loss(logits, labels, tcfg.loss_function,
+                                 tcfg.loss_weights)
+
+            loss, (g_dense, g_cache, g_buf) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1, 2))(dense_params, cache, buf)
+            # g_cache/g_buf are dense over the working set (C and Mp rows) —
+            # tiny next to the tables; duplicate positions accumulate
+            # automatically in autodiff (the torch-sparse coalesce).
+            mom_inc_c = jnp.mean(g_cache * g_cache, axis=1)
+            touched_c = mom_inc_c > 0
+            mom_c2 = mom_c + mom_inc_c
+            std_c = jnp.sqrt(mom_c2) + eps
+            cache = cache - (lr * g_cache / std_c[:, None]) * touched_c[:, None]
+
+            mom_inc_b = jnp.mean(g_buf * g_buf, axis=1)
+            touched_b = mom_inc_b > 0
+            buf_mom2 = buf_mom + mom_inc_b
+            std_b = jnp.sqrt(buf_mom2) + eps
+            buf = buf - (lr * g_buf / std_b[:, None]) * touched_b[:, None]
+
+            # dense params: plain rwsadagrad dense branch
+            new_dstate = jax.tree_util.tree_map(
+                lambda s, g: s + g.astype(jnp.float32) ** 2, dstate, g_dense)
+            dense_params = jax.tree_util.tree_map(
+                lambda p, g, s: (p - lr * g / (jnp.sqrt(s) + eps)
+                                 ).astype(p.dtype),
+                dense_params, g_dense, new_dstate)
+
+            return (cache, jnp.where(touched_c, mom_c2, mom_c), dense_params,
+                    new_dstate, buf, jnp.where(touched_b, buf_mom2, buf_mom),
+                    loss)
+
+        return step
+
+    # ------------------------------------------------------------ host side
+
+    def _writeback_evicted(self, ev_keys, ev_slots):
+        if not ev_keys:
+            return
+        rows = np.asarray(self.cache_values[jnp.asarray(ev_slots)])
+        moms = np.asarray(self.cache_mom[jnp.asarray(ev_slots)])
+        for (t, r), row, m in zip(ev_keys, rows, moms):
+            self.host_tables[t][r] = row
+            self.host_mom[t][r] = m
+
+    def train_batch(self, dense_params, dstate, step_idx: int,
+                    dense_x, idx, labels):
+        """One HBM-bounded training step.  Returns (dense_params, dstate,
+        loss)."""
+        idx = np.asarray(idx)
+        (slots, scat_slots, scat_m, buf, ev_keys, ev_slots,
+         upd) = self.assigner.assign_batch_train(idx)
+        # 1. write back evicted rows BEFORE fetching misses (a key evicted
+        # and re-missed in the same batch must see its updated value) and
+        # before the scatter overwrites slots
+        self._writeback_evicted(ev_keys, ev_slots)
+        # 2. fetch miss rows (train mode defers the fetch to this point) and
+        # their momenta
+        M = buf.shape[0]
+        bk = self.insert_bucket
+        Mp = max(bk, ((M + bk - 1) // bk) * bk)
+        buf_keys = self._buffer_keys(idx, slots, M)
+        buf_p = np.zeros((Mp, self.dim), np.float32)
+        if M:
+            buf_p[:M] = self.assigner.fetch_rows(buf_keys)
+        buf_mom = np.zeros((Mp,), np.float32)
+        for m, (t, r) in enumerate(buf_keys):
+            buf_mom[m] = self.host_mom[t][r]
+        ss = np.full((Mp,), self.capacity, np.int32)
+        sm = np.zeros((Mp,), np.int32)
+        ss[:len(scat_slots)] = scat_slots
+        sm[:len(scat_m)] = scat_m
+        # final per-position target: mid-batch-evicted keys with no buffer
+        # copy (sentinel) fall back to their pre-apply slot — the forward
+        # value is still correct there (deferred reuse; the cell is never
+        # scattered), the update lands in the dying cell, and the SECOND
+        # eviction write-back below (post-step) carries it to DRAM — no
+        # update is ever dropped.
+        MAXI = np.iinfo(np.int32).max
+        gather_idx = np.where(upd == MAXI, slots, upd).astype(np.int32)
+        # 3. device step
+        lr = float(self.lr_fn(step_idx))
+        (self.cache_values, self.cache_mom, dense_params, dstate, new_buf,
+         new_buf_mom, loss) = self._step_fn(
+            self.cache_values, self.cache_mom, dense_params, dstate,
+            jnp.asarray(gather_idx), jnp.asarray(ss), jnp.asarray(sm),
+            jnp.asarray(buf_p), jnp.asarray(buf_mom), jnp.asarray(dense_x),
+            jnp.asarray(labels), lr)
+        # 4a. second eviction write-back: dying cells may have received this
+        # batch's updates (positions whose key was evicted mid-batch); their
+        # cells were excluded from the scatter, so this captures old+update
+        self._writeback_evicted(ev_keys, ev_slots)
+        # 4b. write back buffer rows that are NOT cache-resident (their
+        # update lives only in new_buf).  Order matters: a key evicted and
+        # re-inserted as a buffer row must end with the buffer value, so 4b
+        # runs after 4a.
+        resident_m = set(int(m) for m in scat_m)
+        nb = np.asarray(new_buf)
+        nbm = np.asarray(new_buf_mom)
+        for m, (t, r) in enumerate(buf_keys):
+            if m not in resident_m:
+                self.host_tables[t][r] = nb[m]
+                self.host_mom[t][r] = nbm[m]
+        return dense_params, dstate, loss
+
+    def _buffer_keys(self, idx, slots, M) -> List[Tuple[int, int]]:
+        """Recover (table, row) for each buffer index m from the served
+        positions (every buffer row is served at least once)."""
+        out: Dict[int, Tuple[int, int]] = {}
+        B, T = idx.shape
+        s = np.asarray(slots)
+        for b in range(B):
+            for t in range(T):
+                v = s[b, t]
+                if v >= self.capacity:
+                    out[v - self.capacity] = (t, int(idx[b, t]))
+        return [out[m] for m in range(M)]
+
+    def flush_to_host(self):
+        """Write every cached row (+momentum) back to DRAM so host_tables
+        hold the complete trained tables (end of training / checkpoint)."""
+        keys, slots = self.assigner.resident_entries()
+        if keys:
+            self._writeback_evicted(keys, slots)
+
+    def stats(self) -> dict:
+        s = self.assigner.stats()
+        s.update({
+            "capacity": self.capacity,
+            "hbm_bytes": int(self.capacity * (self.dim + 1) * 4),
+            "dropped_updates": self.dropped_updates,
+        })
+        return s
+
+    def close(self):
+        self.engine.close()

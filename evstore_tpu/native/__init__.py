@@ -34,6 +34,11 @@ def _load_lib():
         ctypes.c_void_p, ctypes.c_int,
         np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
         ctypes.c_long]
+    lib.esv_borrow_table_mem.restype = ctypes.c_int
+    lib.esv_borrow_table_mem.argtypes = [
+        ctypes.c_void_p, ctypes.c_int,
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        ctypes.c_long]
     lib.esv_open_table_file.restype = ctypes.c_int
     lib.esv_open_table_file.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_long,
@@ -70,6 +75,34 @@ def _load_lib():
     lib.esv_assign_stats.argtypes = [ctypes.c_void_p,
                                      np.ctypeslib.ndpointer(np.float64)]
     lib.esv_assign_close.argtypes = [ctypes.c_void_p]
+    lib.esv_fetch_rows.argtypes = [
+        ctypes.c_void_p,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_long,
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")]
+    lib.esv_assign_resident.restype = ctypes.c_long
+    lib.esv_assign_resident.argtypes = [
+        ctypes.c_void_p,
+        np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_long]
+    lib.esv_assign_batch_train.restype = ctypes.c_long
+    lib.esv_assign_batch_train.argtypes = [
+        ctypes.c_void_p,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_long,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        ctypes.c_long,
+        ctypes.POINTER(ctypes.c_long),
+        np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_long,
+        ctypes.POINTER(ctypes.c_long),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")]
     return lib
 
 
@@ -110,6 +143,19 @@ class NativeTieredCache:
             rc = self._lib.esv_load_table_mem(self._h, t, tab, tab.shape[0])
             if rc != 0:
                 raise RuntimeError(f"esv_load_table_mem({t}) -> {rc}")
+        return self
+
+    def borrow_tables(self, tables: Sequence[np.ndarray]):
+        """Zero-copy backing store: the engine reads the caller's buffers
+        directly (caller must keep them alive and contiguous; in-place
+        mutations are observed by subsequent fetches)."""
+        self._borrowed_refs = []
+        for t, tab in enumerate(tables):
+            tab = np.ascontiguousarray(tab, np.float32)
+            self._borrowed_refs.append(tab)
+            rc = self._lib.esv_borrow_table_mem(self._h, t, tab, tab.shape[0])
+            if rc != 0:
+                raise RuntimeError(f"esv_borrow_table_mem({t}) -> {rc}")
         return self
 
     def open_table_files(self, bin_dir: str, table_sizes: Sequence[int],
@@ -203,6 +249,57 @@ class NativeAssigner:
             raise RuntimeError("esv_assign_batch: buffer overflow")
         return (slots, scat_slots[:n_scat.value], scat_m[:n_scat.value],
                 buf[:n_buf])
+
+    def assign_batch_train(self, idx: np.ndarray):
+        """Training mode: deferred slot reuse + eviction reporting + final
+        gradient targets.  Returns (slots [B,T], scat_slots, scat_m,
+        buf [n_buf, D], evicted_keys [(t, row)...], evicted_slots,
+        upd_targets [B,T])."""
+        idx = np.ascontiguousarray(idx, np.int64)
+        B, T = idx.shape
+        maxM = B * T
+        slots = np.empty((B, T), np.int32)
+        scat_slots = np.empty(maxM, np.int32)
+        scat_m = np.empty(maxM, np.int32)
+        buf = np.empty((maxM, self.dim), np.float32)
+        ev_keys = np.empty(maxM + self.capacity, np.uint64)
+        ev_slots = np.empty(maxM + self.capacity, np.int32)
+        upd = np.empty((B, T), np.int32)
+        n_scat = ctypes.c_long(0)
+        n_ev = ctypes.c_long(0)
+        n_buf = self._lib.esv_assign_batch_train(
+            self._h, idx.reshape(-1), B, slots.reshape(-1), scat_slots,
+            scat_m, buf.reshape(-1), maxM, ctypes.byref(n_scat),
+            ev_keys, ev_slots, len(ev_keys), ctypes.byref(n_ev),
+            upd.reshape(-1))
+        if n_buf < 0:
+            raise RuntimeError("esv_assign_batch_train: buffer overflow")
+        ne = n_ev.value
+        keys = [(int(k >> 40), int(k & ((1 << 40) - 1)))
+                for k in ev_keys[:ne]]
+        return (slots, scat_slots[:n_scat.value], scat_m[:n_scat.value],
+                buf[:n_buf], keys, ev_slots[:ne].copy(), upd)
+
+    def fetch_rows(self, keys) -> np.ndarray:
+        """Batched storage fetch through the reader pool (train mode does
+        this AFTER eviction write-back)."""
+        n = len(keys)
+        tabs = np.asarray([k[0] for k in keys], np.int32)
+        rows = np.asarray([k[1] for k in keys], np.int64)
+        out = np.empty((n, self.dim), np.float32)
+        if n:
+            self._lib.esv_fetch_rows(self._h, tabs, rows, n, out.reshape(-1))
+        return out
+
+    def resident_entries(self):
+        """All cache-resident ((t, row), slot) pairs (for drain/flush)."""
+        keys = np.empty(self.capacity, np.uint64)
+        slots = np.empty(self.capacity, np.int32)
+        n = self._lib.esv_assign_resident(self._h, keys, slots, self.capacity)
+        out_keys = [(int(k >> 40), int(k & ((1 << 40) - 1)))
+                    for k in keys[:n]]
+        m = [i for i, s in enumerate(slots[:n]) if s >= 0]
+        return [out_keys[i] for i in m], slots[:n][m].copy()
 
     def stats(self) -> dict:
         s = np.zeros(4, np.float64)

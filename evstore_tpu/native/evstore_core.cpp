@@ -261,6 +261,18 @@ class EvLFUTier {
 
   void note_perfect() { n_perfect_ = buckets_[n_tables_].size; }
 
+  // assign mode only (4-byte slot payload): dump resident (key, slot) pairs
+  size_t export_entries(uint64_t* keys, int32_t* slots, size_t maxn) {
+    size_t n = 0;
+    for (auto& kv : map_) {
+      if (n >= maxn) break;
+      keys[n] = kv.first;
+      memcpy(&slots[n], kv.second->value, 4);
+      n++;
+    }
+    return n;
+  }
+
   // stats
   uint64_t n_hits = 0, n_lookups = 0;
 
@@ -335,14 +347,24 @@ class Storage {
  public:
   int dim = 0;
   int file_precision = 32;
-  // in-memory mode
+  // in-memory mode (owned copy)
   std::vector<std::vector<float>> mem_tables;
+  // borrowed mode: zero-copy pointers into caller-owned (numpy) buffers —
+  // required by the trainable cache whose write-backs mutate the master
+  // copy that misses must then observe
+  std::vector<const float*> borrowed;
+  std::vector<int64_t> borrowed_rows;
   // file mode
   std::vector<int> fds;
   std::vector<int64_t> table_rows;
   bool file_mode = false;
 
   bool fetch(int table, int64_t row, float* dst) const {
+    if (!borrowed.empty() && borrowed[table] != nullptr) {
+      if (row >= borrowed_rows[table]) return false;
+      memcpy(dst, borrowed[table] + row * dim, dim * 4);
+      return true;
+    }
     if (!file_mode) {
       const auto& t = mem_tables[table];
       if ((size_t)((row + 1) * dim) > t.size()) return false;
@@ -721,10 +743,26 @@ void* esv_assign_init(void* engine, long capacity, float flush_rate,
 // One call = one segment.  Returns n_buf (rows written to out_buf);
 // *out_n_scat = entries in out_scat_slots/out_scat_m.  out_slots are gather
 // indices over concat(hbm_cache[capacity], out_buf[n_buf]).
-long esv_assign_batch(void* h, const int64_t* idx, long B,
-                      int32_t* out_slots, int32_t* out_scat_slots,
-                      int32_t* out_scat_m, float* out_buf, long maxM,
-                      long* out_n_scat) {
+//
+// Training mode (train != 0) adds:
+//  - deferred slot reuse: slots freed by evictions this call are NOT reused
+//    until the call ends, so the caller can snapshot evicted rows from the
+//    device cache BEFORE the scatter overwrites anything (write-back).
+//  - out_evicted_keys/out_evicted_slots (<= max_evict): cache-resident keys
+//    evicted this call, for host write-back.  Returns n via *out_n_evicted.
+//  - out_upd_targets [B*T]: the final gradient-update target per position —
+//    the key's cache slot if it is cache-resident after this call, its
+//    buffer index C+m if it is buffer-resident, or INT32_MAX if the key was
+//    evicted mid-call with no buffer copy (that batch's update to it is
+//    dropped — documented relaxation, mirrors async-PS staleness).
+static long assign_batch_impl(void* h, const int64_t* idx, long B,
+                              int32_t* out_slots, int32_t* out_scat_slots,
+                              int32_t* out_scat_m, float* out_buf, long maxM,
+                              long* out_n_scat, int train,
+                              uint64_t* out_evicted_keys,
+                              int32_t* out_evicted_slots, long max_evict,
+                              long* out_n_evicted,
+                              int32_t* out_upd_targets) {
   AssignHandle* ah = (AssignHandle*)h;
   DeviceAssign& da = ah->da;
   Engine* eng = ah->eng;
@@ -737,9 +775,36 @@ long esv_assign_batch(void* h, const int64_t* idx, long B,
   std::unordered_map<int32_t, int32_t> scat;       // slot -> m
   std::vector<std::pair<int, int64_t>> buf_keys;   // fetches, per m
   std::vector<int32_t> evicted_slots;
+  std::vector<uint64_t> evicted_keys_tmp;
+  long n_evicted = 0;
+
+  auto record_evictions = [&](const std::vector<uint64_t>& keys) {
+    for (size_t i = 0; i < keys.size(); i++) {
+      int32_t s = evicted_slots[i];
+      if (s >= 0) {
+        da.pending.push_back(s);
+        // report for write-back ONLY keys resident from a previous call:
+        // a key inserted this call never reached its slot (the scatter
+        // hasn't run), so its cache cell holds garbage — its authoritative
+        // value is the miss buffer, handled by the caller's post-step
+        // write-back once we erase its scatter entry below.
+        bool inserted_this_call = seg_buf.count(keys[i]) > 0;
+        if (train && out_evicted_keys && !inserted_this_call
+            && n_evicted < max_evict) {
+          out_evicted_keys[n_evicted] = keys[i];
+          out_evicted_slots[n_evicted] = s;
+          n_evicted++;
+        }
+        // a slot evicted in train mode keeps its pre-apply row until the
+        // caller snapshots it; any stale scatter entry targeting it must
+        // not resurrect data for the (future) reuse of the slot
+        if (train) scat.erase(s);
+      }
+    }
+  };
 
   auto take_slot = [&]() -> int32_t {
-    if (da.free_list.empty()) da.sweep();
+    if (da.free_list.empty() && !train) da.sweep();  // train: defer reuse
     if (da.free_list.empty()) return DeviceAssign::kNoSlot;
     int32_t s = da.free_list.back();
     da.free_list.pop_back();
@@ -771,11 +836,11 @@ long esv_assign_batch(void* h, const int64_t* idx, long B,
         const uint8_t* v = pol->update_agg(k, agg);
         if (v == nullptr) {
           // evicted earlier this segment: reinsert
+          evicted_keys_tmp.clear();
           evicted_slots.clear();
-          pol->set(k, (const uint8_t*)&DeviceAssign::kNoSlot, agg, nullptr,
-                   &evicted_slots);
-          for (int32_t s : evicted_slots)
-            if (s >= 0) da.pending.push_back(s);
+          pol->set(k, (const uint8_t*)&DeviceAssign::kNoSlot, agg,
+                   &evicted_keys_tmp, &evicted_slots);
+          record_evictions(evicted_keys_tmp);
           out = buffer_serve(k, t, rows[t]);
           int32_t slot = take_slot();
           if (slot >= 0) {
@@ -803,11 +868,11 @@ long esv_assign_batch(void* h, const int64_t* idx, long B,
           }
         }
       } else {
+        evicted_keys_tmp.clear();
         evicted_slots.clear();
-        pol->set(k, (const uint8_t*)&DeviceAssign::kNoSlot, agg, nullptr,
-                 &evicted_slots);
-        for (int32_t s : evicted_slots)
-          if (s >= 0) da.pending.push_back(s);
+        pol->set(k, (const uint8_t*)&DeviceAssign::kNoSlot, agg,
+                 &evicted_keys_tmp, &evicted_slots);
+        record_evictions(evicted_keys_tmp);
         out = buffer_serve(k, t, rows[t]);
         int32_t slot = take_slot();
         if (slot >= 0) {
@@ -824,14 +889,19 @@ long esv_assign_batch(void* h, const int64_t* idx, long B,
     if ((long)buf_keys.size() > maxM) return -1;   // caller buffer too small
   }
 
-  // batched parallel fetch of all buffer rows through the reader pool
-  std::vector<ReadJob> jobs;
-  jobs.reserve(buf_keys.size());
-  for (size_t m = 0; m < buf_keys.size(); m++) {
-    jobs.push_back({buf_keys[m].first, buf_keys[m].second,
-                    out_buf + m * (size_t)D});
+  // batched parallel fetch of all buffer rows through the reader pool.
+  // Train mode defers the fetch: the caller must first write back this
+  // call's evicted rows (a key evicted and re-missed in the same batch must
+  // observe its updated value), then call esv_fetch_rows.
+  if (!train) {
+    std::vector<ReadJob> jobs;
+    jobs.reserve(buf_keys.size());
+    for (size_t m = 0; m < buf_keys.size(); m++) {
+      jobs.push_back({buf_keys[m].first, buf_keys[m].second,
+                      out_buf + m * (size_t)D});
+    }
+    eng->pool.run(jobs);
   }
-  eng->pool.run(jobs);
 
   long n_scat = 0;
   for (auto& kv : scat) {
@@ -841,10 +911,81 @@ long esv_assign_batch(void* h, const int64_t* idx, long B,
   }
   *out_n_scat = n_scat;
 
+  if (train) {
+    if (out_n_evicted) *out_n_evicted = n_evicted;
+    if (out_upd_targets) {
+      // final gradient target per position, from post-call policy state
+      for (long b = 0; b < B; b++) {
+        for (int t = 0; t < T; t++) {
+          uint64_t k = make_key(t, idx[b * T + t]);
+          Entry* e = pol->find(k);
+          int32_t target;
+          if (e) {
+            int32_t slot;
+            memcpy(&slot, e->value, 4);
+            if (slot >= 0) {
+              target = slot;                       // cache-resident
+            } else {
+              auto it = seg_buf.find(k);
+              target = (it != seg_buf.end()) ? it->second
+                                             : INT32_MAX;  // no home: drop
+            }
+          } else {
+            // evicted mid-call: update only if a buffer copy exists
+            auto it = seg_buf.find(k);
+            target = (it != seg_buf.end()) ? it->second : INT32_MAX;
+          }
+          out_upd_targets[b * T + t] = target;
+        }
+      }
+    }
+  }
+
   // segment ends with the device apply on the caller's side
   std::fill(da.pinned.begin(), da.pinned.end(), 0);
   da.sweep();
   return (long)buf_keys.size();
+}
+
+long esv_assign_batch(void* h, const int64_t* idx, long B,
+                      int32_t* out_slots, int32_t* out_scat_slots,
+                      int32_t* out_scat_m, float* out_buf, long maxM,
+                      long* out_n_scat) {
+  return assign_batch_impl(h, idx, B, out_slots, out_scat_slots, out_scat_m,
+                           out_buf, maxM, out_n_scat, 0, nullptr, nullptr, 0,
+                           nullptr, nullptr);
+}
+
+long esv_assign_batch_train(void* h, const int64_t* idx, long B,
+                            int32_t* out_slots, int32_t* out_scat_slots,
+                            int32_t* out_scat_m, float* out_buf, long maxM,
+                            long* out_n_scat, uint64_t* out_evicted_keys,
+                            int32_t* out_evicted_slots, long max_evict,
+                            long* out_n_evicted, int32_t* out_upd_targets) {
+  return assign_batch_impl(h, idx, B, out_slots, out_scat_slots, out_scat_m,
+                           out_buf, maxM, out_n_scat, 1, out_evicted_keys,
+                           out_evicted_slots, max_evict, out_n_evicted,
+                           out_upd_targets);
+}
+
+// batched storage fetch (reader pool): rows[i] of tables[i] -> out[i*D]
+void esv_fetch_rows(void* h, const int32_t* tables, const int64_t* rows,
+                    long n, float* out) {
+  AssignHandle* ah = (AssignHandle*)h;
+  Engine* eng = ah->eng;
+  std::vector<ReadJob> jobs;
+  jobs.reserve(n);
+  for (long i = 0; i < n; i++) {
+    jobs.push_back({tables[i], rows[i], out + i * (size_t)eng->dim});
+  }
+  eng->pool.run(jobs);
+}
+
+long esv_assign_resident(void* h, uint64_t* out_keys, int32_t* out_slots,
+                         long maxn) {
+  AssignHandle* ah = (AssignHandle*)h;
+  return (long)ah->da.policy->export_entries(out_keys, out_slots,
+                                             (size_t)maxn);
 }
 
 void esv_assign_stats(void* h, double* out) {
@@ -889,6 +1030,21 @@ int esv_load_table_mem(void* h, int table, const float* data, long n_rows) {
   if ((int)e->storage.mem_tables.size() < e->n_tables)
     e->storage.mem_tables.resize(e->n_tables);
   e->storage.mem_tables[table].assign(data, data + n_rows * e->dim);
+  e->storage.file_mode = false;
+  return 0;
+}
+
+// zero-copy backing store: the engine reads rows directly from the caller's
+// buffer (caller keeps it alive and may mutate it between calls)
+int esv_borrow_table_mem(void* h, int table, const float* data, long n_rows) {
+  Engine* e = (Engine*)h;
+  if (table >= e->n_tables) return -1;
+  if ((int)e->storage.borrowed.size() < e->n_tables) {
+    e->storage.borrowed.resize(e->n_tables, nullptr);
+    e->storage.borrowed_rows.resize(e->n_tables, 0);
+  }
+  e->storage.borrowed[table] = data;
+  e->storage.borrowed_rows[table] = n_rows;
   e->storage.file_mode = false;
   return 0;
 }

@@ -1,0 +1,152 @@
+"""HBM-bounded training through the device cache tier (the BASELINE north
+star's hard requirement: sparse updates write through the tier)."""
+
+import shutil
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from evstore_tpu.cache.trainable import TrainableDeviceCache
+from evstore_tpu.config import CacheConfig, TrainConfig, tiny_dlrm_config
+from evstore_tpu.data.synthetic import RandomDataConfig, learnable_batches
+from evstore_tpu.models.dlrm import DLRMParams, init_dlrm
+from evstore_tpu.train.train_loop import init_opt_state, make_train_step
+
+pytestmark = pytest.mark.skipif(shutil.which("g++") is None,
+                                reason="no g++ toolchain")
+
+
+def _setup(capacity, n_batches=30, bs=16, seed=0):
+    cfg = tiny_dlrm_config()
+    tcfg = TrainConfig(batch_size=bs, learning_rate=0.2,
+                       optimizer="rwsadagrad")
+    ccfg = CacheConfig(policy="evlfu", total_size=capacity, main_precision=32)
+    params = init_dlrm(jax.random.PRNGKey(0), cfg)
+    tables = [np.asarray(params.sparse[f"table_{t}"]["kind_plain"])
+              for t in range(cfg.num_tables)]
+    dcfg = RandomDataConfig(num_dense=cfg.num_dense_features,
+                            table_sizes=cfg.table_sizes, batch_size=bs,
+                            num_batches=n_batches, seed=seed)
+    return cfg, tcfg, ccfg, params, tables, dcfg
+
+
+def test_cached_training_matches_full_table_when_no_eviction():
+    """With capacity >= all distinct keys, cached training must be EXACTLY
+    full-table rwsadagrad training: same per-step losses, same final tables,
+    same dense params."""
+    cfg, tcfg, ccfg, params, tables, dcfg = _setup(capacity=200)
+    # full-table reference
+    step_ref = jax.jit(make_train_step(cfg, tcfg))
+    p_ref, o_ref = params, init_opt_state(params, tcfg)
+    # cached
+    tc = TrainableDeviceCache(cfg, tcfg, ccfg, tables)
+    dense = params.dense
+    dstate = jax.tree_util.tree_map(
+        lambda p: jnp.zeros_like(p, dtype=jnp.float32), params.dense)
+
+    losses_ref, losses_c = [], []
+    for k, (dx, idx, y) in enumerate(learnable_batches(dcfg)):
+        p_ref, o_ref, l1 = step_ref(p_ref, o_ref, jnp.asarray(dx),
+                                    jnp.asarray(idx), jnp.asarray(y))
+        dense, dstate, l2 = tc.train_batch(dense, dstate, k, dx, idx, y)
+        losses_ref.append(float(l1))
+        losses_c.append(float(l2))
+    np.testing.assert_allclose(losses_c, losses_ref, rtol=1e-5, atol=1e-6)
+    tc.flush_to_host()
+    for t in range(cfg.num_tables):
+        np.testing.assert_allclose(
+            tc.host_tables[t],
+            np.asarray(p_ref.sparse[f"table_{t}"]["kind_plain"]),
+            rtol=1e-5, atol=1e-6, err_msg=f"table_{t}")
+    np.testing.assert_allclose(
+        np.asarray(dense["bot"]["layer_0"]["w"]),
+        np.asarray(p_ref.dense["bot"]["layer_0"]["w"]), rtol=1e-5, atol=1e-6)
+    assert tc.stats()["dropped_updates"] == 0
+    tc.close()
+
+
+def test_cached_training_bounded_hbm_still_learns():
+    """With capacity far below the working set (evictions every batch), the
+    loss must still fall and dropped updates must stay a tiny fraction."""
+    cfg, tcfg, ccfg, params, tables, dcfg = _setup(capacity=24,
+                                                   n_batches=120, bs=32)
+    tc = TrainableDeviceCache(cfg, tcfg, ccfg, tables)
+    dense = params.dense
+    dstate = jax.tree_util.tree_map(
+        lambda p: jnp.zeros_like(p, dtype=jnp.float32), params.dense)
+    losses = []
+    for k, (dx, idx, y) in enumerate(learnable_batches(dcfg)):
+        dense, dstate, loss = tc.train_batch(dense, dstate, k, dx, idx, y)
+        losses.append(float(loss))
+    assert np.mean(losses[-20:]) < np.mean(losses[:20])
+    s = tc.stats()
+    total_updates = s["requests"] * cfg.num_tables
+    assert s["dropped_updates"] / total_updates < 0.05
+    assert s["hbm_bytes"] == 24 * (cfg.embedding_dim + 1) * 4
+    tc.close()
+
+
+def test_small_cache_tracks_full_table_closely():
+    """With write-back + zero-copy backing, cached training at SMALL
+    capacity (evictions every batch) tracks full-table training; the only
+    divergence source is a key evicted AND re-missed within one batch (its
+    gradient applies as two partial updates) — drift must stay tiny."""
+    cfg, tcfg, ccfg, params, tables, dcfg = _setup(capacity=20, n_batches=50,
+                                                   bs=8, seed=7)
+    step_ref = jax.jit(make_train_step(cfg, tcfg))
+    p_ref, o_ref = params, init_opt_state(params, tcfg)
+    tc = TrainableDeviceCache(cfg, tcfg, ccfg, tables)
+    dense = params.dense
+    dstate = jax.tree_util.tree_map(
+        lambda p: jnp.zeros_like(p, dtype=jnp.float32), params.dense)
+    losses_ref, losses_c = [], []
+    for k, (dx, idx, y) in enumerate(learnable_batches(dcfg)):
+        p_ref, o_ref, l1 = step_ref(p_ref, o_ref, jnp.asarray(dx),
+                                    jnp.asarray(idx), jnp.asarray(y))
+        dense, dstate, l2 = tc.train_batch(dense, dstate, k, dx, idx, y)
+        losses_ref.append(float(l1))
+        losses_c.append(float(l2))
+    # trajectories must track closely (mean abs loss gap << loss scale)
+    gap = np.mean(np.abs(np.asarray(losses_c) - np.asarray(losses_ref)))
+    assert gap < 0.02, gap
+    tc.flush_to_host()
+    diffs = []
+    for t in range(cfg.num_tables):
+        ref = np.asarray(p_ref.sparse[f"table_{t}"]["kind_plain"])
+        diffs.append(np.abs(tc.host_tables[t] - ref).max())
+    assert max(diffs) < 0.15, diffs     # bounded drift on a few rows
+    assert np.mean(diffs) < 0.08
+    tc.close()
+
+
+def test_writeback_keeps_host_consistent():
+    """Rows evicted and later reloaded must carry their training updates
+    (write-back correctness): train with a tiny cache, then flush; every
+    touched row must differ from its init, untouched rows must be exact."""
+    cfg, tcfg, ccfg, params, tables, dcfg = _setup(capacity=16, n_batches=60,
+                                                   bs=8, seed=3)
+    init_tables = [t.copy() for t in tables]
+    tc = TrainableDeviceCache(cfg, tcfg, ccfg, tables)
+    dense = params.dense
+    dstate = jax.tree_util.tree_map(
+        lambda p: jnp.zeros_like(p, dtype=jnp.float32), params.dense)
+    touched = [set() for _ in range(cfg.num_tables)]
+    for k, (dx, idx, y) in enumerate(learnable_batches(dcfg)):
+        dense, dstate, _ = tc.train_batch(dense, dstate, k, dx, idx, y)
+        for t in range(cfg.num_tables):
+            touched[t].update(int(r) for r in np.asarray(idx)[:, t])
+    tc.flush_to_host()
+    for t in range(cfg.num_tables):
+        for r in range(tables[t].shape[0]):
+            if r not in touched[t]:
+                np.testing.assert_array_equal(tc.host_tables[t][r],
+                                              init_tables[t][r])
+    # most touched rows changed (an occasional dropped update may leave one)
+    n_changed = sum(
+        int(not np.array_equal(tc.host_tables[t][r], init_tables[t][r]))
+        for t in range(cfg.num_tables) for r in touched[t])
+    n_touched = sum(len(s) for s in touched)
+    assert n_changed > 0.9 * n_touched
+    tc.close()

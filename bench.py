@@ -120,6 +120,56 @@ def bench_device_cache(cfg, B=1024, n_steps=40, cache_rows=200_000):
     }
 
 
+def bench_cached_training(cfg, B=2048, n_steps=25, cache_rows=500_000):
+    """HBM-bounded training: full Kaggle-scale tables live in host DRAM;
+    HBM holds only the C1 working set."""
+    import shutil
+    if shutil.which("g++") is None:
+        return None
+    import jax
+    import jax.numpy as jnp
+    from evstore_tpu.cache.trainable import TrainableDeviceCache
+    from evstore_tpu.config import CacheConfig, TrainConfig
+    from evstore_tpu.models.dlrm import init_dlrm
+
+    rng = np.random.default_rng(0)
+    tables = [np.asarray(rng.uniform(-0.1, 0.1, (min(s, 500_000),
+                                                 cfg.embedding_dim)),
+                         np.float32) for s in cfg.table_sizes]
+    sizes = [t.shape[0] for t in tables]
+    tcfg = TrainConfig(batch_size=B, learning_rate=0.1, optimizer="rwsadagrad")
+    ccfg = CacheConfig(policy="evlfu", total_size=cache_rows,
+                       main_precision=32)
+    tc = TrainableDeviceCache(cfg, tcfg, ccfg, tables, insert_bucket=8192)
+    params = init_dlrm(jax.random.PRNGKey(0), cfg)
+    dense = params.dense
+    dstate = jax.tree_util.tree_map(
+        lambda p: jnp.zeros_like(p, dtype=jnp.float32), params.dense)
+    import dataclasses
+    from evstore_tpu.data.synthetic import RandomDataConfig, random_batches
+    dcfg = RandomDataConfig(num_dense=cfg.num_dense_features,
+                            table_sizes=sizes, batch_size=B,
+                            num_batches=n_steps + 3, seed=4,
+                            distribution="zipf", zipf_alpha=1.1)
+    batches = list(random_batches(dcfg))
+    for k in range(3):   # warm the jit + cache
+        dense, dstate, loss = tc.train_batch(dense, dstate, k, *batches[k])
+    t0 = time.perf_counter()
+    for k in range(3, 3 + n_steps):
+        dense, dstate, loss = tc.train_batch(dense, dstate, k, *batches[k])
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    s = tc.stats()
+    tc.close()
+    total_rows = sum(sizes)
+    return {
+        "examples_per_s": n_steps * B / dt,
+        "hbm_mb": s["hbm_bytes"] / 1e6,
+        "full_table_mb": total_rows * cfg.embedding_dim * 4 / 1e6,
+        "hit_rate": s["hit_rate"],
+    }
+
+
 def bench_native_engine(cfg, B=1024, n_steps=50):
     import shutil
     if shutil.which("g++") is None:
@@ -178,6 +228,12 @@ def main():
     if ne:
         results["native_engine"] = ne
         log(f"  {json.dumps(ne)}")
+
+    log("bench: HBM-bounded training (write-through device cache)...")
+    ct = bench_cached_training(cfg)
+    if ct:
+        results["cached_training"] = ct
+        log(f"  {json.dumps(ct)}")
 
     with open(__file__.rsplit("/", 1)[0] + "/bench_results.json", "w") as f:
         json.dump(results, f, indent=1)

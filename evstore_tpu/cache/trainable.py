@@ -149,13 +149,16 @@ class TrainableDeviceCache:
     # ------------------------------------------------------------ host side
 
     def _writeback_evicted(self, ev_keys, ev_slots):
-        if not ev_keys:
+        if len(ev_keys) == 0:
             return
         rows = np.asarray(self.cache_values[jnp.asarray(ev_slots)])
         moms = np.asarray(self.cache_mom[jnp.asarray(ev_slots)])
-        for (t, r), row, m in zip(ev_keys, rows, moms):
-            self.host_tables[t][r] = row
-            self.host_mom[t][r] = m
+        ts = np.asarray([k[0] for k in ev_keys])
+        rs = np.asarray([k[1] for k in ev_keys])
+        for t in np.unique(ts):
+            sel = ts == t
+            self.host_tables[t][rs[sel]] = rows[sel]
+            self.host_mom[t][rs[sel]] = moms[sel]
 
     def train_batch(self, dense_params, dstate, step_idx: int,
                     dense_x, idx, labels):
@@ -173,13 +176,14 @@ class TrainableDeviceCache:
         M = buf.shape[0]
         bk = self.insert_bucket
         Mp = max(bk, ((M + bk - 1) // bk) * bk)
-        buf_keys = self._buffer_keys(idx, slots, M)
+        buf_t, buf_r = self._buffer_keys_arrays(idx, slots, M)
         buf_p = np.zeros((Mp, self.dim), np.float32)
         if M:
-            buf_p[:M] = self.assigner.fetch_rows(buf_keys)
+            buf_p[:M] = self.assigner.fetch_rows_arrays(buf_t, buf_r)
         buf_mom = np.zeros((Mp,), np.float32)
-        for m, (t, r) in enumerate(buf_keys):
-            buf_mom[m] = self.host_mom[t][r]
+        for t in np.unique(buf_t):
+            sel = buf_t == t
+            buf_mom[:M][sel] = self.host_mom[t][buf_r[sel]]
         ss = np.full((Mp,), self.capacity, np.int32)
         sm = np.zeros((Mp,), np.int32)
         ss[:len(scat_slots)] = scat_slots
@@ -208,27 +212,30 @@ class TrainableDeviceCache:
         # update lives only in new_buf).  Order matters: a key evicted and
         # re-inserted as a buffer row must end with the buffer value, so 4b
         # runs after 4a.
-        resident_m = set(int(m) for m in scat_m)
+        nonres = np.ones(M, bool)
+        nonres[scat_m[scat_m < M]] = False
         nb = np.asarray(new_buf)
         nbm = np.asarray(new_buf_mom)
-        for m, (t, r) in enumerate(buf_keys):
-            if m not in resident_m:
-                self.host_tables[t][r] = nb[m]
-                self.host_mom[t][r] = nbm[m]
+        for t in np.unique(buf_t[nonres]):
+            sel = nonres & (buf_t == t)
+            self.host_tables[t][buf_r[sel]] = nb[:M][sel]
+            self.host_mom[t][buf_r[sel]] = nbm[:M][sel]
         return dense_params, dstate, loss
 
-    def _buffer_keys(self, idx, slots, M) -> List[Tuple[int, int]]:
-        """Recover (table, row) for each buffer index m from the served
-        positions (every buffer row is served at least once)."""
-        out: Dict[int, Tuple[int, int]] = {}
+    def _buffer_keys_arrays(self, idx, slots, M):
+        """Recover (table, row) per buffer index m from the served positions
+        (every buffer row is served at least once), vectorized."""
         B, T = idx.shape
         s = np.asarray(slots)
-        for b in range(B):
-            for t in range(T):
-                v = s[b, t]
-                if v >= self.capacity:
-                    out[v - self.capacity] = (t, int(idx[b, t]))
-        return [out[m] for m in range(M)]
+        mask = s >= self.capacity
+        ms = (s[mask] - self.capacity).astype(np.int64)
+        ts = np.broadcast_to(np.arange(T, dtype=np.int32), (B, T))[mask]
+        rs = np.asarray(idx)[mask].astype(np.int64)
+        buf_t = np.zeros(M, np.int32)
+        buf_r = np.zeros(M, np.int64)
+        buf_t[ms] = ts
+        buf_r[ms] = rs
+        return buf_t, buf_r
 
     def flush_to_host(self):
         """Write every cached row (+momentum) back to DRAM so host_tables

@@ -261,7 +261,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         trace_dir=(args.output_dir + "/trace"
                    if args.trace_inference_workload else None),
         cdf_path=args.write_cdf_file or None,
-        use_native=(args.cache_algo == "native"))
+        use_native=(args.cache_algo == "native"),
+        use_device_cache=args.use_device_cache)
     print(f"inference done: metrics={res.metrics} "
           f"perfect_hits={res.cache_stats.get('perfect_hits')} "
           f"p99={res.latency.get('p99_s')}")

@@ -42,11 +42,23 @@ class InferenceResult:
 def build_cache(ccfg: CacheConfig, cfg: DLRMConfig,
                 storage: StorageManager,
                 altkey_resolver: Optional[AltKeyResolver] = None,
-                use_native: bool = False):
+                use_native: bool = False,
+                use_device_cache: bool = False):
     if ccfg.policy in ("lfu", "lru") and ccfg.n_caching_layers == 1:
         return make_cache_from_policy(ccfg.policy, ccfg.total_size,
                                       cfg.num_tables, storage,
                                       cfg.embedding_dim)
+    if use_device_cache:
+        # C1 rows resident in TPU HBM; only misses cross PCIe
+        from evstore_tpu.cache.device_cache import NativeDeviceC1Cache
+        from evstore_tpu.cache.storage import DummyStore
+        dc = NativeDeviceC1Cache(ccfg, cfg.num_tables, cfg.embedding_dim)
+        if isinstance(storage.store, DummyStore):
+            dc.load_tables(storage.store.tables)
+        else:
+            raise ValueError("device cache file mode: use "
+                             "NativeDeviceC1Cache.open_table_files directly")
+        return dc
     if use_native:
         from evstore_tpu.cache.storage import DummyStore
         from evstore_tpu.native import NativeTieredCache
@@ -72,9 +84,11 @@ def run_inference(params: DLRMParams, cfg: DLRMConfig, ccfg: CacheConfig,
                   trace_dir: Optional[str] = None,
                   cdf_path: Optional[str] = None,
                   use_native: bool = False,
+                  use_device_cache: bool = False,
                   log_fn=print) -> InferenceResult:
     """Run tiered-cache inference over `batches` of (dense, idx, labels)."""
-    cache = build_cache(ccfg, cfg, storage, altkey_resolver, use_native)
+    cache = build_cache(ccfg, cfg, storage, altkey_resolver, use_native,
+                        use_device_cache)
     import jax.numpy as jnp
 
     @jax.jit

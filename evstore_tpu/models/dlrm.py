@@ -87,6 +87,12 @@ def bottom_mlp(dense_params: Dict, x: jnp.ndarray, cfg: DLRMConfig) -> jnp.ndarr
 
 def interact(x: jnp.ndarray, ly: jnp.ndarray, cfg: DLRMConfig) -> jnp.ndarray:
     if cfg.interaction_op == "dot":
+        B = x.shape[0]
+        if (cfg.use_pallas_interaction and jax.default_backend() == "tpu"
+                and B % 128 == 0):
+            from evstore_tpu.ops.pallas_interaction import dot_interaction_pallas
+            return dot_interaction_pallas(x, ly, cfg.interaction_itself,
+                                          tile_b=min(256, B))
         return dot_interaction(x, ly, cfg.interaction_itself)
     return cat_interaction(x, ly)
 

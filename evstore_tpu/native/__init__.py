@@ -283,9 +283,15 @@ class NativeAssigner:
     def fetch_rows(self, keys) -> np.ndarray:
         """Batched storage fetch through the reader pool (train mode does
         this AFTER eviction write-back)."""
-        n = len(keys)
         tabs = np.asarray([k[0] for k in keys], np.int32)
         rows = np.asarray([k[1] for k in keys], np.int64)
+        return self.fetch_rows_arrays(tabs, rows)
+
+    def fetch_rows_arrays(self, tabs: np.ndarray, rows: np.ndarray
+                          ) -> np.ndarray:
+        n = len(tabs)
+        tabs = np.ascontiguousarray(tabs, np.int32)
+        rows = np.ascontiguousarray(rows, np.int64)
         out = np.empty((n, self.dim), np.float32)
         if n:
             self._lib.esv_fetch_rows(self._h, tabs, rows, n, out.reshape(-1))

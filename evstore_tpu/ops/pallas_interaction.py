@@ -54,12 +54,53 @@ def _interaction_kernel(x_ref, ly_ref, sel_ref, out_ref):
     out_ref[:] = jnp.concatenate([x, pairs], axis=1).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("self_interaction", "tile_b", "interpret"))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def dot_interaction_pallas(x: jax.Array, ly: jax.Array,
                            self_interaction: bool = False,
                            tile_b: int = 128,
                            interpret: bool = False) -> jax.Array:
+    """x [B, D], ly [B, T, D] -> [B, D + P].  Differentiable: the backward
+    pass (pallas_call has no autodiff) runs as plain XLA ops — the
+    cotangent scatter + two small batched matmuls."""
+    return _dot_interaction_pallas_impl(x, ly, self_interaction, tile_b,
+                                        interpret)
+
+
+def _interaction_fwd(x, ly, self_interaction, tile_b, interpret):
+    out = _dot_interaction_pallas_impl(x, ly, self_interaction, tile_b,
+                                       interpret)
+    return out, (x, ly)
+
+
+def _interaction_bwd(self_interaction, tile_b, interpret, res, g):
+    x, ly = res
+    B, D = x.shape
+    T = ly.shape[1]
+    F = T + 1
+    li, lj = _tril_indices(F, self_interaction)
+    feats = jnp.concatenate([x[:, None, :].astype(jnp.float32),
+                             ly.astype(jnp.float32)], axis=1)
+    gpairs = g[:, D:].astype(jnp.float32)                    # [B, P]
+    dgram = jnp.zeros((B, F, F), jnp.float32).at[
+        :, jnp.asarray(li), jnp.asarray(lj)].add(gpairs)
+    # gram = feats feats^T  =>  dfeats = (dgram + dgram^T) feats
+    sym = dgram + jnp.swapaxes(dgram, 1, 2)
+    dfeats = jnp.einsum("bfg,bgd->bfd", sym, feats,
+                        preferred_element_type=jnp.float32)
+    dx = (dfeats[:, 0, :] + g[:, :D].astype(jnp.float32)).astype(x.dtype)
+    dly = dfeats[:, 1:, :].astype(ly.dtype)
+    return dx, dly
+
+
+dot_interaction_pallas.defvjp(_interaction_fwd, _interaction_bwd)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("self_interaction", "tile_b", "interpret"))
+def _dot_interaction_pallas_impl(x: jax.Array, ly: jax.Array,
+                                 self_interaction: bool = False,
+                                 tile_b: int = 128,
+                                 interpret: bool = False) -> jax.Array:
     """x [B, D], ly [B, T, D] -> [B, D + P]."""
     B, D = x.shape
     T = ly.shape[1]

@@ -1,0 +1,50 @@
+"""Inference through the device (HBM) cache path of the driver."""
+
+import shutil
+
+import jax
+import numpy as np
+import pytest
+
+from evstore_tpu.cache.storage import StorageManager
+from evstore_tpu.config import CacheConfig, tiny_dlrm_config
+from evstore_tpu.data.synthetic import RandomDataConfig, random_batches
+from evstore_tpu.drivers.infer import run_inference
+from evstore_tpu.models.dlrm import init_dlrm
+from evstore_tpu.train.train_loop import evaluate
+
+pytestmark = pytest.mark.skipif(shutil.which("g++") is None,
+                                reason="no g++ toolchain")
+
+
+def test_device_cache_inference_matches_plain():
+    cfg = tiny_dlrm_config()
+    params = init_dlrm(jax.random.PRNGKey(0), cfg)
+    tables = [np.asarray(params.sparse[f"table_{t}"]["kind_plain"])
+              for t in range(cfg.num_tables)]
+    sm = StorageManager("dummy", dim=cfg.embedding_dim).load(tables=tables)
+    dcfg = RandomDataConfig(num_dense=cfg.num_dense_features,
+                            table_sizes=cfg.table_sizes, batch_size=16,
+                            num_batches=10, seed=5, distribution="zipf")
+    ccfg = CacheConfig(policy="evlfu", n_caching_layers=1, total_size=60,
+                       main_precision=32)
+    res = run_inference(params, cfg, ccfg, random_batches(dcfg), sm,
+                        use_device_cache=True, log_fn=lambda *_: None)
+    plain = evaluate(params, cfg, random_batches(dcfg))
+    for k in res.metrics:
+        if not np.isnan(res.metrics[k]):
+            np.testing.assert_allclose(res.metrics[k], plain[k], atol=1e-5)
+    assert res.cache_stats["requests"] == 160
+    assert res.cache_stats["hbm_bytes"] == 60 * cfg.embedding_dim * 4
+
+
+def test_cli_device_cache_inference(capsys):
+    from evstore_tpu.cli import main
+    rc = main(("--inference-only --use-evstore True --use-device-cache True "
+               "--arch-sparse-feature-size 4 --arch-embedding-size 40-30 "
+               "--arch-mlp-bot 4-8-4 --arch-mlp-top 8-1 "
+               "--mini-batch-size 8 --nbatches-test 6 "
+               "--data-generation synthetic "
+               "--cache-algo evlfu --emb-cache-size 50").split())
+    assert rc == 0
+    assert "inference done" in capsys.readouterr().out

@@ -56,3 +56,23 @@ def test_pallas_interaction_bad_tile():
     with pytest.raises(ValueError):
         dot_interaction_pallas(jnp.ones((10, 4)), jnp.ones((10, 3, 4)),
                                tile_b=4, interpret=True)
+
+
+def test_pallas_interaction_gradients_match_xla(rng):
+    """The custom VJP must reproduce XLA autodiff through the interaction."""
+    B, T, D = 8, 5, 4
+    x = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    ly = jnp.asarray(rng.normal(size=(B, T, D)).astype(np.float32))
+
+    def loss_p(x_, ly_):
+        return jnp.sum(dot_interaction_pallas(x_, ly_, False, 8, True) ** 2)
+
+    def loss_x(x_, ly_):
+        return jnp.sum(dot_interaction(x_, ly_) ** 2)
+
+    gx_p, gly_p = jax.grad(loss_p, argnums=(0, 1))(x, ly)
+    gx_x, gly_x = jax.grad(loss_x, argnums=(0, 1))(x, ly)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_x),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gly_p), np.asarray(gly_x),
+                               rtol=1e-4, atol=1e-4)

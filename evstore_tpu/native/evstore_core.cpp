@@ -197,7 +197,33 @@ class EvLFUTier {
     map_.reserve(cap * 2 + 16);
   }
   ~EvLFUTier() {
-    for (auto& kv : map_) free(kv.second);
+    for (uint8_t* slab : slabs_) free(slab);
+  }
+
+  // entry arena: capacity is fixed, so entries are slab-allocated once and
+  // recycled through a freelist — malloc/free per insert dominated the
+  // miss path (~1us/insert)
+  Entry* alloc_entry() {
+    if (free_entries_) {
+      Entry* e = free_entries_;
+      free_entries_ = e->next;
+      return e;
+    }
+    size_t esz = sizeof(Entry) + nb_;
+    esz = (esz + 15) & ~size_t(15);
+    size_t per_slab = 4096;
+    uint8_t* slab = (uint8_t*)malloc(esz * per_slab);
+    slabs_.push_back(slab);
+    for (size_t i = 1; i < per_slab; i++) {
+      Entry* e = (Entry*)(slab + i * esz);
+      e->next = free_entries_;
+      free_entries_ = e;
+    }
+    return (Entry*)slab;
+  }
+  void free_entry(Entry* e) {
+    e->next = free_entries_;
+    free_entries_ = e;
   }
 
   size_t size() const { return map_.size(); }
@@ -223,7 +249,7 @@ class EvLFUTier {
         evicted_slots->push_back(s);
       }
       map_.erase(e->key);
-      free(e);
+      free_entry(e);
     };
     if (n_perfect_ >= max_perfect_ && max_perfect_ > 0) {
       size_t n_evict = (size_t)(flush_rate_ * cap_) + 1;
@@ -239,7 +265,7 @@ class EvLFUTier {
       }
       drop(buckets_[min_agg_].pop_front());
     }
-    Entry* e = (Entry*)malloc(sizeof(Entry) + nb_);
+    Entry* e = alloc_entry();
     e->key = k; e->agg = agg;
     memcpy(e->value, val, nb_);
     buckets_[agg].push_back(e);
@@ -285,6 +311,8 @@ class EvLFUTier {
   int min_agg_ = 0;
   std::unordered_map<uint64_t, Entry*> map_;
   std::vector<Bucket> buckets_;
+  Entry* free_entries_ = nullptr;
+  std::vector<uint8_t*> slabs_;
 };
 
 // ---------------------------------------------------------------- C3 tier
@@ -397,17 +425,24 @@ class ReaderPool {  // evlfu_8.cpp:191-250 equivalent, mutex+condvar based
     for (auto& t : threads_) t.join();
     threads_.clear();
   }
-  // submit jobs and wait for all of them
+  // submit jobs and wait for all of them.  Jobs are dispatched in chunks
+  // (one queue entry per ~CHUNK jobs) so queue/lock overhead amortizes —
+  // per-row dispatch was ~0.5us/job, dominating small-row fetches.
   void run(std::vector<ReadJob>& jobs) {
     if (jobs.empty()) return;
-    if (threads_.empty()) {  // no pool: synchronous
+    if (threads_.empty() || jobs.size() < 64) {  // small: synchronous
       for (auto& j : jobs) storage_->fetch(j.table, j.row, j.dst);
       return;
     }
+    size_t n_chunks = threads_.size() * 4;
+    size_t chunk = (jobs.size() + n_chunks - 1) / n_chunks;
     {
       std::unique_lock<std::mutex> lk(mu_);
-      outstanding_ += jobs.size();
-      for (auto& j : jobs) queue_.push_back(j);
+      for (size_t s = 0; s < jobs.size(); s += chunk) {
+        queue_.push_back({jobs.data() + s,
+                          std::min(chunk, jobs.size() - s)});
+        outstanding_++;
+      }
     }
     cv_.notify_all();
     std::unique_lock<std::mutex> lk(mu_);
@@ -415,17 +450,23 @@ class ReaderPool {  // evlfu_8.cpp:191-250 equivalent, mutex+condvar based
   }
 
  private:
+  struct Chunk {
+    ReadJob* jobs;
+    size_t n;
+  };
+
   void loop() {
     for (;;) {
-      ReadJob j;
+      Chunk c;
       {
         std::unique_lock<std::mutex> lk(mu_);
         cv_.wait(lk, [this] { return stop_ || !queue_.empty(); });
         if (stop_ && queue_.empty()) return;
-        j = queue_.front();
+        c = queue_.front();
         queue_.pop_front();
       }
-      storage_->fetch(j.table, j.row, j.dst);
+      for (size_t i = 0; i < c.n; i++)
+        storage_->fetch(c.jobs[i].table, c.jobs[i].row, c.jobs[i].dst);
       {
         std::unique_lock<std::mutex> lk(mu_);
         if (--outstanding_ == 0) done_cv_.notify_all();
@@ -434,7 +475,7 @@ class ReaderPool {  // evlfu_8.cpp:191-250 equivalent, mutex+condvar based
   }
   const Storage* storage_ = nullptr;
   std::vector<std::thread> threads_;
-  std::deque<ReadJob> queue_;
+  std::deque<Chunk> queue_;
   std::mutex mu_;
   std::condition_variable cv_, done_cv_;
   size_t outstanding_ = 0;

@@ -120,7 +120,7 @@ def bench_device_cache(cfg, B=1024, n_steps=40, cache_rows=200_000):
     }
 
 
-def bench_cached_training(cfg, B=2048, n_steps=25, cache_rows=500_000):
+def bench_cached_training(cfg, B=2048, n_steps=15, cache_rows=500_000):
     """HBM-bounded training: full Kaggle-scale tables live in host DRAM;
     HBM holds only the C1 working set."""
     import shutil
@@ -215,6 +215,15 @@ def main():
     results["train_examples_per_s"] = train_eps
     log(f"  {train_eps:,.0f} examples/s")
 
+    # the primary metric goes out FIRST so a timeout on the extended suite
+    # (slow remote Mosaic/XLA compiles on this environment) cannot lose it
+    print(json.dumps({
+        "metric": "train_examples_per_s_per_chip",
+        "value": round(train_eps, 1),
+        "unit": "examples/s",
+        "vs_baseline": round(train_eps / BASELINE_EXAMPLES_PER_S, 2),
+    }), flush=True)
+
     log("bench: inference forward...")
     results["infer_examples_per_s"] = bench_infer(cfg)
     log(f"  {results['infer_examples_per_s']:,.0f} examples/s")
@@ -237,13 +246,6 @@ def main():
 
     with open(__file__.rsplit("/", 1)[0] + "/bench_results.json", "w") as f:
         json.dump(results, f, indent=1)
-
-    print(json.dumps({
-        "metric": "train_examples_per_s_per_chip",
-        "value": round(train_eps, 1),
-        "unit": "examples/s",
-        "vs_baseline": round(train_eps / BASELINE_EXAMPLES_PER_S, 2),
-    }))
 
 
 if __name__ == "__main__":

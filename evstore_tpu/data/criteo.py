@@ -35,9 +35,18 @@ NUM_DENSE = 13
 NUM_SPARSE = 26
 
 
-def _parse_tsv(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _parse_tsv(path: str, use_native: bool = True
+               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Parse a Criteo TSV chunk: label \\t 13 ints \\t 26 hex cats.
-    Missing dense -> 0; negative dense -> 0 (data_utils.py:1130-1144)."""
+    Missing dense -> 0; negative dense -> 0 (data_utils.py:1130-1144).
+    Uses the native parser (the cython/ equivalent) when the engine .so is
+    available."""
+    if use_native:
+        try:
+            from evstore_tpu.native import parse_criteo_tsv_native
+            return parse_criteo_tsv_native(path)
+        except Exception:
+            pass   # fall back to the pure-Python parser
     labels, dense, cats = [], [], []
     with open(path) as f:
         for line in f:

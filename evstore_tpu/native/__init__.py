@@ -119,6 +119,31 @@ def get_lib():
 _EVICTION = {"fifo": 1, "recency": 2}  # aprx_embedding.hpp:32
 
 
+def parse_criteo_tsv_native(path: str):
+    """Fast TSV parse (the cython/ preprocessing equivalent): returns
+    (labels int32 [n], dense int64 [n,13], cats int64 [n,26])."""
+    lib = get_lib()
+    if not hasattr(lib, "_tsv_bound"):
+        lib.esv_count_lines.restype = ctypes.c_long
+        lib.esv_count_lines.argtypes = [ctypes.c_char_p]
+        lib.esv_parse_criteo_tsv.restype = ctypes.c_long
+        lib.esv_parse_criteo_tsv.argtypes = [
+            ctypes.c_char_p, ctypes.c_long,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")]
+        lib._tsv_bound = True
+    n_lines = lib.esv_count_lines(path.encode())
+    if n_lines < 0:
+        raise FileNotFoundError(path)
+    labels = np.empty(n_lines, np.int32)
+    dense = np.empty((n_lines, 13), np.int64)
+    cats = np.empty((n_lines, 26), np.int64)
+    n = lib.esv_parse_criteo_tsv(path.encode(), n_lines, labels,
+                                 dense.reshape(-1), cats.reshape(-1))
+    return labels[:n], dense[:n], cats[:n]
+
+
 class NativeTieredCache:
     """Drop-in for cache.tiers.TieredCache backed by the C++ engine."""
 

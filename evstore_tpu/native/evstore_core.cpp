@@ -1184,4 +1184,75 @@ void esv_stats(void* h, double* out) {
 
 void esv_close(void* h) { delete (Engine*)h; }
 
+// ------------------------------------------------- fast Criteo TSV parser
+// The reference compiles its preprocessing with Cython for speed
+// (cython/cython_compile.py); here the TSV hot loop is native.  Format:
+// label \t 13 ints \t 26 hex cats; empty/negative dense -> 0, empty cat -> 0
+// (data_utils.py:1130-1153 semantics).
+
+long esv_parse_criteo_tsv(const char* path, long max_rows, int32_t* labels,
+                          int64_t* dense /* n x 13 */,
+                          int64_t* cats /* n x 26 */) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  char line[1 << 16];
+  long n = 0;
+  while (n < max_rows && fgets(line, sizeof(line), f)) {
+    char* p = line;
+    // label
+    long lab = strtol(p, &p, 10);
+    if (*p != '\t') continue;   // malformed
+    p++;
+    int64_t drow[13];
+    int64_t crow[26];
+    bool ok = true;
+    for (int i = 0; i < 13; i++) {
+      if (*p == '\t') { drow[i] = 0; p++; continue; }
+      char* q;
+      long v = strtol(p, &q, 10);
+      if (q == p || *q != '\t') { ok = false; break; }
+      drow[i] = v > 0 ? v : 0;
+      p = q + 1;
+    }
+    if (!ok) continue;
+    for (int i = 0; i < 26; i++) {
+      char term = (i == 25) ? '\n' : '\t';
+      if (*p == term || *p == '\0' || *p == '\r') {
+        crow[i] = 0;
+        if (*p) p++;
+        continue;
+      }
+      char* q;
+      long long v = strtoll(p, &q, 16);
+      if (q == p) { ok = false; break; }
+      crow[i] = (int64_t)v;
+      p = q;
+      if (*p == term || *p == '\r' || *p == '\n') p++;
+      else if (*p == '\0') {}
+      else { ok = false; break; }
+    }
+    if (!ok) continue;
+    labels[n] = (int32_t)lab;
+    memcpy(dense + n * 13, drow, sizeof(drow));
+    memcpy(cats + n * 26, crow, sizeof(crow));
+    n++;
+  }
+  fclose(f);
+  return n;
+}
+
+long esv_count_lines(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  long n = 0;
+  char buf[1 << 20];
+  size_t got;
+  while ((got = fread(buf, 1, sizeof(buf), f)) > 0) {
+    for (size_t i = 0; i < got; i++)
+      if (buf[i] == '\n') n++;
+  }
+  fclose(f);
+  return n;
+}
+
 }  // extern "C"

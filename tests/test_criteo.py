@@ -121,3 +121,17 @@ def test_training_on_criteo_pipeline(processed):
     assert np.all(np.isfinite(hist["loss"]))
     m = evaluate(params, cfg, ds.batches("test", 32, drop_last=True))
     assert 0 <= m["accuracy"] <= 1
+
+
+def test_native_parser_matches_python(tmp_path):
+    """The C++ TSV parser (the cython/ preprocessing equivalent) must agree
+    with the pure-Python parser byte-for-byte."""
+    import shutil
+    if shutil.which("g++") is None:
+        pytest.skip("no g++")
+    from evstore_tpu.data.criteo import _parse_tsv
+    txt = make_synthetic_criteo_txt(str(tmp_path / "t.txt"), n=500, seed=9)
+    a_native = _parse_tsv(txt, use_native=True)
+    a_python = _parse_tsv(txt, use_native=False)
+    for x, y in zip(a_native, a_python):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

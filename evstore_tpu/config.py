@@ -47,9 +47,11 @@ class DLRMConfig:
     # numerics
     param_dtype: str = "float32"
     compute_dtype: str = "float32"           # bfloat16 for MXU-friendly training
-    # fused Pallas dot-interaction kernel (ops/pallas_interaction.py): ~13%
-    # faster than the XLA lowering on v5e and fp32-accurate; auto-falls back
-    # off-TPU or for unaligned batch sizes
+    # fused Pallas dot-interaction kernel (ops/pallas_interaction.py): wins
+    # in isolation (~13% on v5e) but LOSES end-to-end — pallas_call is a
+    # fusion barrier and XLA otherwise fuses the interaction into the MLP
+    # matmuls (measured 38x step regression).  Keep False unless profiling
+    # a standalone interaction.
     use_pallas_interaction: bool = False
     weighted_pooling: Optional[str] = None   # None | "learned" | "fixed"
     loss_threshold: float = 0.0              # clamp predictions (dlrm_s_pytorch.py:1034)

@@ -100,6 +100,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mlperf-logging", action="store_true")
     p.add_argument("--mlperf-acc-threshold", type=float, default=0.0)
     p.add_argument("--mlperf-auc-threshold", type=float, default=0.0)
+    p.add_argument("--quantize-embedding-with-bit", type=int, default=32)
+    p.add_argument("--quantize-mlp-with-bit", type=int, default=32)
     p.add_argument("--enable-profiling", action="store_true")
     p.add_argument("--tensor-board-filename", type=str, default="run_0")
     # parallelism (TPU re-interpretation of --use-gpu / ndevices)
@@ -238,6 +240,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         if s is not None:
             params, _, _ = restore_checkpoint(args.load_model, s, params,
                                               init_opt_state(params, tcfg))
+    if args.quantize_embedding_with_bit < 32:
+        from evstore_tpu.utils.checkpoint import quantize_embeddings
+        params = quantize_embeddings(params, args.quantize_embedding_with_bit)
+    if args.quantize_mlp_with_bit < 32:
+        from evstore_tpu.utils.checkpoint import quantize_mlps
+        params = quantize_mlps(params, args.quantize_mlp_with_bit)
     if args.ev_table_path and args.use_evstore:
         sm = StorageManager(args.emb_stor, precision=args.ev_precs,
                             dim=cfg.embedding_dim)

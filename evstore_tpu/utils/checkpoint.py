@@ -66,6 +66,48 @@ def latest_step(ckpt_dir: str) -> Optional[int]:
     return max(steps) if steps else None
 
 
+# --------------------------------------------------- quantized inference
+
+def quantize_embeddings(params: DLRMParams, bits: int) -> DLRMParams:
+    """Quantize plain embedding tables through the EV codec for inference
+    (reference --quantize-embedding-with-bit, dlrm_s_pytorch.py:1025-1028,
+    quantization at :1515-1527).  Tables are stored encoded+decoded — the
+    model itself stays fp32, matching the reference's accuracy-impact
+    testing path (u_char_to_float CSVs)."""
+    import jax.numpy as jnp
+    from evstore_tpu.ops import quant as qlib
+    new_sparse = {}
+    for name, p in params.sparse.items():
+        if "kind_plain" in p:
+            q = dict(p)
+            enc = qlib.quantize(p["kind_plain"].astype(jnp.float32), bits)
+            q["kind_plain"] = qlib.dequantize(enc, bits).astype(
+                p["kind_plain"].dtype)
+            new_sparse[name] = q
+        else:
+            new_sparse[name] = p
+    return DLRMParams(dense=params.dense, sparse=new_sparse)
+
+
+def quantize_mlps(params: DLRMParams, bits: int = 8) -> DLRMParams:
+    """Post-training int8 symmetric quantization of MLP weights
+    (reference --quantize-mlp-with-bit, torch.quantization path
+    dlrm_s_pytorch.py:1515-1527): per-tensor scale, dequantized storage."""
+    import jax.numpy as jnp
+    if bits != 8:
+        raise ValueError("mlp quantization supports 8 bits")
+
+    def q(w):
+        scale = jnp.max(jnp.abs(w)) / 127.0
+        return (jnp.round(w / scale).clip(-127, 127) * scale).astype(w.dtype)
+
+    def walk(tree):
+        return {k: ({"w": q(v["w"]), "b": v["b"]} if isinstance(v, dict)
+                    and "w" in v else walk(v)) for k, v in tree.items()}
+
+    return DLRMParams(dense=walk(params.dense), sparse=params.sparse)
+
+
 # ------------------------------------------------------- EV-table handoff
 
 def export_ev_tables(params: DLRMParams, out_dir: str,

@@ -118,3 +118,30 @@ def test_mlperf_logger_format():
     mll2 = MLPerfLogger(log_fn=lines.append, rank=1)
     mll2.event("x")
     assert len(lines) == 5
+
+
+def test_quantized_inference(state):
+    """--quantize-embedding-with-bit / --quantize-mlp-with-bit equivalents:
+    quantized models predict close to fp32 (the reference's accuracy-impact
+    path)."""
+    import jax.numpy as jnp
+    from evstore_tpu.models.dlrm import predict
+    from evstore_tpu.utils.checkpoint import quantize_embeddings, quantize_mlps
+    cfg, _, params, _ = state
+    rng = np.random.default_rng(0)
+    dense = jnp.asarray(rng.random((16, cfg.num_dense_features)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, 20, (16, cfg.num_tables)), jnp.int32)
+    base = np.asarray(predict(params, dense, idx, cfg))
+    for bits, tol in [(16, 0.01), (8, 0.05)]:
+        qp = quantize_embeddings(params, bits)
+        got = np.asarray(predict(qp, dense, idx, cfg))
+        assert np.max(np.abs(got - base)) < tol, bits
+    qm = quantize_mlps(params, 8)
+    got = np.asarray(predict(qm, dense, idx, cfg))
+    assert np.max(np.abs(got - base)) < 0.1
+    # int8 table bytes really are the codec's (idempotent re-encode)
+    from evstore_tpu.ops.quant import np_quantize_int8, np_dequantize_int8
+    t0 = np.asarray(quantize_embeddings(params, 8
+                                        ).sparse["table_0"]["kind_plain"])
+    np.testing.assert_allclose(
+        t0, np_dequantize_int8(np_quantize_int8(t0)), atol=1e-6)

@@ -202,27 +202,40 @@ class MmapStore:
 
 
 class SqliteStore:
-    """Single blob table keyed by global rowid computed from per-table
-    cumulative offsets (emb_storage/storage_sqlite.py:28-39,106-113)."""
+    """SQLite backing store, two layouts:
+    - "global": single blob table keyed by global rowid from per-table
+      cumulative offsets (emb_storage/storage_sqlite.py:28-39,106-113)
+    - "per_table": one DB table per EV table
+      (emb_storage/storage_sqlite_26_tabs.py)
+    """
 
     def __init__(self, db_path: str, table_sizes: Sequence[int], dim: int,
-                 precision: int = 32):
+                 precision: int = 32, layout: str = "global"):
         self.dim = dim
         self.precision = precision
         self.nb = row_nbytes(precision, dim)
         self.offsets = np.concatenate([[0], np.cumsum(table_sizes)])
         self.db_path = db_path
+        self.layout = layout
+        self.n_tables = len(table_sizes)
         self.conn = sqlite3.connect(db_path)
 
     def create_and_load(self, bin_dir: str, table_sizes: Sequence[int]):
         cur = self.conn.cursor()
-        cur.execute("DROP TABLE IF EXISTS tab1")
-        cur.execute("CREATE TABLE tab1 (b BLOB)")
+        if self.layout == "global":
+            cur.execute("DROP TABLE IF EXISTS tab1")
+            cur.execute("CREATE TABLE tab1 (b BLOB)")
         for t, n in enumerate(table_sizes):
             raw = np.fromfile(os.path.join(bin_dir, f"ev-table-{t + 1}.bin"),
                               dtype=np.uint8).reshape(n, self.nb)
-            cur.executemany("INSERT INTO tab1 (b) VALUES (?)",
-                            ((r.tobytes(),) for r in raw))
+            if self.layout == "global":
+                cur.executemany("INSERT INTO tab1 (b) VALUES (?)",
+                                ((r.tobytes(),) for r in raw))
+            else:
+                cur.execute(f"DROP TABLE IF EXISTS ev_{t + 1}")
+                cur.execute(f"CREATE TABLE ev_{t + 1} (b BLOB)")
+                cur.executemany(f"INSERT INTO ev_{t + 1} (b) VALUES (?)",
+                                ((r.tobytes(),) for r in raw))
         self.conn.commit()
         return self
 
@@ -230,12 +243,21 @@ class SqliteStore:
         return int(self.offsets[table]) + row + 1  # sqlite rowid is 1-based
 
     def get(self, table: int, row: int) -> np.ndarray:
-        cur = self.conn.execute("SELECT b FROM tab1 WHERE rowid = ?",
-                                (self._rowid(table, row),))
+        if self.layout == "global":
+            cur = self.conn.execute("SELECT b FROM tab1 WHERE rowid = ?",
+                                    (self._rowid(table, row),))
+        else:
+            cur = self.conn.execute(
+                f"SELECT b FROM ev_{table + 1} WHERE rowid = ?", (row + 1,))
         raw = np.frombuffer(cur.fetchone()[0], np.uint8)
         return _decode_rows(raw, self.precision, self.dim)[0]
 
     def get_batch(self, keys: Sequence[Key]) -> np.ndarray:
+        if self.layout != "global":
+            raw = np.stack([np.frombuffer(self.conn.execute(
+                f"SELECT b FROM ev_{t + 1} WHERE rowid = ?",
+                (r + 1,)).fetchone()[0], np.uint8) for t, r in keys])
+            return _decode_rows(raw, self.precision, self.dim)
         rowids = [self._rowid(t, r) for t, r in keys]
         qmarks = ",".join("?" * len(rowids))
         cur = self.conn.execute(

@@ -133,6 +133,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--write-cdf-file", type=str, default="")
     p.add_argument("--use-device-cache", type=_str_bool, default=False,
                    help="C1 rows resident in TPU HBM (device cache)")
+    p.add_argument("--extra-mem-load", type=int, default=0,
+                   help="MB of HBM ballast (≙ lock-gpu driver's "
+                        "extra-mem-load, dlrm_s_pytorch_lock_gpu_C1.py:1819)")
     p.add_argument("--output-dir", type=str, default="./output")
     return p
 
@@ -153,7 +156,8 @@ def configs_from_args(args) -> tuple:
         md_flag=args.md_flag, md_threshold=args.md_threshold,
         md_temperature=args.md_temperature, md_round_dims=args.md_round_dims,
         compute_dtype=args.compute_dtype,
-        loss_threshold=args.loss_threshold)
+        loss_threshold=args.loss_threshold,
+        weighted_pooling=args.weighted_pooling)
     lw = [float(x) for x in args.loss_weights.split("-")]
     tcfg = TrainConfig(
         batch_size=args.mini_batch_size,
@@ -226,6 +230,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     # inference path (the reference's C1/C1C2/C1C2C3 drivers)
     import jax
     import numpy as np
+    if args.extra_mem_load > 0:
+        from evstore_tpu.utils.memory import HBMBallast
+        _ballast = HBMBallast(args.extra_mem_load)  # held for process life
     from evstore_tpu.cache.storage import StorageManager
     from evstore_tpu.drivers.infer import run_inference
     from evstore_tpu.models.dlrm import init_dlrm

@@ -91,3 +91,16 @@ def test_storage_manager_facade(tables, tmp_path):
     assert m.store is None
     with pytest.raises(ValueError):
         StorageManager("rocksdb")
+
+
+def test_sqlite_per_table_layout(tables, tmp_path):
+    """The 26-tabs layout variant (emb_storage/storage_sqlite_26_tabs.py)."""
+    write_ev_tables_binary(tables, str(tmp_path), 32)
+    sizes = [t.shape[0] for t in tables]
+    s = SqliteStore(str(tmp_path / "ev26.db"), sizes, 8, 32,
+                    layout="per_table")
+    s.create_and_load(str(tmp_path), sizes)
+    np.testing.assert_allclose(s.get(2, 19), tables[2][19], rtol=1e-6)
+    got = s.get_batch([(0, 5), (1, 7)])
+    np.testing.assert_allclose(got[1], tables[1][7], rtol=1e-6)
+    s.close()

@@ -33,7 +33,9 @@ def _batches(cfg, B, n, seed=0, zipf=False):
     return list(random_batches(dcfg))
 
 
-def bench_train(cfg, B=8192, n_steps=60):
+def bench_train(cfg, B=8192, n_steps=40, n_windows=3):
+    """Best-of-N timing windows over one compiled program (the shared-tunnel
+    TPU shows ~1.5x run-to-run variance)."""
     import jax
     import jax.numpy as jnp
     from evstore_tpu.config import TrainConfig
@@ -48,13 +50,16 @@ def bench_train(cfg, B=8192, n_steps=60):
                for d, i, y in _batches(cfg, B, 8)]
     params, opt_state, loss = step(params, opt_state, *batches[0])
     jax.block_until_ready(loss)
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        params, opt_state, loss = step(params, opt_state,
-                                       *batches[i % len(batches)])
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
-    return n_steps * B / dt
+    best = 0.0
+    for _ in range(n_windows):
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            params, opt_state, loss = step(params, opt_state,
+                                           *batches[i % len(batches)])
+        jax.block_until_ready(loss)
+        dt = time.perf_counter() - t0
+        best = max(best, n_steps * B / dt)
+    return best
 
 
 def bench_infer(cfg, B=8192, n_steps=100):

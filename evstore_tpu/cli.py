@@ -213,6 +213,14 @@ def _make_data(args, cfg):
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    import os
+    import jax
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+    except Exception:
+        pass
     args = build_parser().parse_args(argv)
     cfg, tcfg, ccfg = configs_from_args(args)
     make_train, make_test = _make_data(args, cfg)

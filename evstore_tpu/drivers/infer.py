@@ -107,20 +107,26 @@ def run_inference(params: DLRMParams, cfg: DLRMConfig, ccfg: CacheConfig,
             n += idx.shape[0]
         log_fn(f"warm-up done: {n} requests; stats={cache.stats()}")
 
+    # device-cache engines can hand back rows as device arrays — no numpy
+    # round-trip, and the jitted forward chains asynchronously
+    device_rows = hasattr(cache, "lookup_batch")
+
     scores, labels = [], []
     t_start = time.perf_counter()
     n_req = 0
     for dense_x, idx, y in batches:
         idx = np.asarray(idx)
         t0 = time.perf_counter()
-        rows = cache.request_batch(idx)            # host tier lookup
+        if device_rows:
+            rows = cache.lookup_batch(idx)         # stays in HBM
+        else:
+            rows = jnp.asarray(cache.request_batch(idx))
         if tracer is not None:
             for b in range(idx.shape[0]):
                 tracer.record(idx[b])
         if not ev_lookup_only:
-            s = fwd(params, jnp.asarray(dense_x), jnp.asarray(rows),
-                    jnp.asarray(idx))
-            scores.append(np.asarray(s))
+            s = fwd(params, jnp.asarray(dense_x), rows, jnp.asarray(idx))
+            scores.append(s)
             labels.append(np.asarray(y))
         # per-request latency: batch time divided across requests (the
         # reference runs bs=1 so these coincide)
@@ -135,7 +141,8 @@ def run_inference(params: DLRMParams, cfg: DLRMConfig, ccfg: CacheConfig,
     if cdf_path is not None:
         lat.write_cdf(cdf_path)
 
-    metrics = (binary_metrics(np.concatenate(scores), np.concatenate(labels))
+    metrics = (binary_metrics(np.concatenate([np.asarray(s) for s in scores]),
+                              np.concatenate(labels))
                if scores else {})
     res = InferenceResult(metrics=metrics, cache_stats=cache.stats(),
                           latency=lat.summary(), elapsed_s=elapsed,

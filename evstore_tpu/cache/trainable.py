@@ -244,6 +244,35 @@ class TrainableDeviceCache:
         if keys:
             self._writeback_evicted(keys, slots)
 
+    def save(self, out_dir: str):
+        """Checkpoint the embedding state: flush, then per-table rows +
+        momenta (the EV-export handoff with optimizer state — resuming
+        bounded-HBM training or feeding the inference tiers)."""
+        import os
+        os.makedirs(out_dir, exist_ok=True)
+        self.flush_to_host()
+        for t, (tab, mom) in enumerate(zip(self.host_tables, self.host_mom)):
+            np.save(os.path.join(out_dir, f"table_{t}.npy"), tab)
+            np.save(os.path.join(out_dir, f"mom_{t}.npy"), mom)
+
+    def load(self, in_dir: str):
+        """Restore host tables + momenta (cache starts cold; rows reload on
+        demand through the normal miss path)."""
+        import os
+        for t in range(self.n_tables):
+            self.host_tables[t][:] = np.load(
+                os.path.join(in_dir, f"table_{t}.npy"))
+            self.host_mom[t][:] = np.load(
+                os.path.join(in_dir, f"mom_{t}.npy"))
+        return self
+
+    def export_ev_tables(self, out_dir: str, precision: int = 32):
+        """EV-table export for the inference storage tier
+        (≙ dlrm_s_pytorch.py:1780-1796, directly from the cached trainer)."""
+        from evstore_tpu.cache.storage import write_ev_tables_binary
+        self.flush_to_host()
+        return write_ev_tables_binary(self.host_tables, out_dir, precision)
+
     def stats(self) -> dict:
         s = self.assigner.stats()
         s.update({

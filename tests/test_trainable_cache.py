@@ -150,3 +150,53 @@ def test_writeback_keeps_host_consistent():
     n_touched = sum(len(s) for s in touched)
     assert n_changed > 0.9 * n_touched
     tc.close()
+
+
+def test_save_load_resume(tmp_path):
+    """Checkpoint the bounded-HBM trainer and resume: the resumed trajectory
+    must equal the uninterrupted one (cold cache reloads through misses with
+    identical values + momenta)."""
+    cfg, tcfg, ccfg, params, tables, dcfg = _setup(capacity=200, n_batches=20,
+                                                   bs=8, seed=11)
+    batches = list(learnable_batches(dcfg))
+    dense0 = params.dense
+    dstate0 = jax.tree_util.tree_map(
+        lambda p: jnp.zeros_like(p, dtype=jnp.float32), params.dense)
+
+    # uninterrupted run
+    tc_a = TrainableDeviceCache(cfg, tcfg, ccfg,
+                                [t.copy() for t in tables])
+    dense_a, dstate_a = dense0, dstate0
+    for k, (dx, idx, y) in enumerate(batches):
+        dense_a, dstate_a, _ = tc_a.train_batch(dense_a, dstate_a, k, dx,
+                                                idx, y)
+    tc_a.flush_to_host()
+
+    # interrupted at step 10: save -> fresh trainer -> load -> resume
+    tc_b = TrainableDeviceCache(cfg, tcfg, ccfg,
+                                [t.copy() for t in tables])
+    dense_b, dstate_b = dense0, dstate0
+    for k in range(10):
+        dx, idx, y = batches[k]
+        dense_b, dstate_b, _ = tc_b.train_batch(dense_b, dstate_b, k, dx,
+                                                idx, y)
+    tc_b.save(str(tmp_path))
+    tc_b.close()
+    tc_c = TrainableDeviceCache(cfg, tcfg, ccfg,
+                                [np.zeros_like(t) for t in tables])
+    tc_c.load(str(tmp_path))
+    dense_c, dstate_c = dense_b, dstate_b
+    for k in range(10, 20):
+        dx, idx, y = batches[k]
+        dense_c, dstate_c, _ = tc_c.train_batch(dense_c, dstate_c, k, dx,
+                                                idx, y)
+    tc_c.flush_to_host()
+    for t in range(cfg.num_tables):
+        np.testing.assert_allclose(tc_c.host_tables[t], tc_a.host_tables[t],
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(tc_c.host_mom[t], tc_a.host_mom[t],
+                                   rtol=1e-5, atol=1e-7)
+    # EV export feeds the inference tiers
+    paths = tc_c.export_ev_tables(str(tmp_path / "ev"))
+    assert len(paths) == cfg.num_tables
+    tc_a.close(); tc_c.close()

@@ -85,8 +85,14 @@ def run_inference(params: DLRMParams, cfg: DLRMConfig, ccfg: CacheConfig,
                   cdf_path: Optional[str] = None,
                   use_native: bool = False,
                   use_device_cache: bool = False,
+                  pipeline_depth: int = 0,
                   log_fn=print) -> InferenceResult:
-    """Run tiered-cache inference over `batches` of (dense, idx, labels)."""
+    """Run tiered-cache inference over `batches` of (dense, idx, labels).
+
+    pipeline_depth > 0 runs the host tier lookup on a prefetch thread so the
+    assign/fetch for batch k+1 overlaps the device compute of batch k (the
+    ctypes engine call releases the GIL); policy order is preserved (one
+    worker, sequential batches)."""
     cache = build_cache(ccfg, cfg, storage, altkey_resolver, use_native,
                         use_device_cache)
     import jax.numpy as jnp
@@ -111,16 +117,26 @@ def run_inference(params: DLRMParams, cfg: DLRMConfig, ccfg: CacheConfig,
     # round-trip, and the jitted forward chains asynchronously
     device_rows = hasattr(cache, "lookup_batch")
 
+    def _lookup(idx):
+        if device_rows:
+            return cache.lookup_batch(idx)         # stays in HBM
+        return jnp.asarray(cache.request_batch(idx))
+
+    if pipeline_depth > 0:
+        from evstore_tpu.data.loader import prefetch
+        stream = prefetch(
+            batches, depth=pipeline_depth, to_device=False,
+            transform=lambda b: (b[0], np.asarray(b[1]), b[2],
+                                 _lookup(np.asarray(b[1]))))
+    else:
+        stream = ((d, np.asarray(i), y, None) for d, i, y in batches)
+
     scores, labels = [], []
     t_start = time.perf_counter()
     n_req = 0
-    for dense_x, idx, y in batches:
-        idx = np.asarray(idx)
+    for dense_x, idx, y, pre_rows in stream:
         t0 = time.perf_counter()
-        if device_rows:
-            rows = cache.lookup_batch(idx)         # stays in HBM
-        else:
-            rows = jnp.asarray(cache.request_batch(idx))
+        rows = pre_rows if pre_rows is not None else _lookup(idx)
         if tracer is not None:
             for b in range(idx.shape[0]):
                 tracer.record(idx[b])

@@ -48,3 +48,29 @@ def test_cli_device_cache_inference(capsys):
                "--cache-algo evlfu --emb-cache-size 50").split())
     assert rc == 0
     assert "inference done" in capsys.readouterr().out
+
+
+def test_pipelined_inference_matches_sequential():
+    """pipeline_depth>0 must produce identical metrics and cache state."""
+    cfg = tiny_dlrm_config()
+    params = init_dlrm(jax.random.PRNGKey(0), cfg)
+    tables = [np.asarray(params.sparse[f"table_{t}"]["kind_plain"])
+              for t in range(cfg.num_tables)]
+    dcfg = RandomDataConfig(num_dense=cfg.num_dense_features,
+                            table_sizes=cfg.table_sizes, batch_size=16,
+                            num_batches=12, seed=5, distribution="zipf")
+    ccfg = CacheConfig(policy="evlfu", n_caching_layers=1, total_size=60,
+                       main_precision=32)
+    sm1 = StorageManager("dummy", dim=cfg.embedding_dim).load(tables=tables)
+    r_seq = run_inference(params, cfg, ccfg, random_batches(dcfg), sm1,
+                          use_device_cache=True, log_fn=lambda *_: None)
+    sm2 = StorageManager("dummy", dim=cfg.embedding_dim).load(tables=tables)
+    r_pipe = run_inference(params, cfg, ccfg, random_batches(dcfg), sm2,
+                           use_device_cache=True, pipeline_depth=2,
+                           log_fn=lambda *_: None)
+    for k in r_seq.metrics:
+        if not np.isnan(r_seq.metrics[k]):
+            np.testing.assert_allclose(r_pipe.metrics[k], r_seq.metrics[k],
+                                       atol=1e-6)
+    assert r_pipe.cache_stats["perfect_hits"] == \
+        r_seq.cache_stats["perfect_hits"]

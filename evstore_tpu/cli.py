@@ -109,6 +109,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="data-parallel mesh axis (0 = all devices)")
     p.add_argument("--mesh-model", type=int, default=1,
                    help="model-parallel (table-sharding) mesh axis")
+    p.add_argument("--dedup-exchange", type=_str_bool, default=False,
+                   help="ship unique rows through the sharded exchange")
     p.add_argument("--compute-dtype", type=str, default="bfloat16")
     # EVStore flags (dlrm_s_pytorch_C1.py:1248-1268)
     p.add_argument("--use-evstore", type=_str_bool, default=False)
@@ -227,11 +229,18 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     if not args.inference_only:
         from evstore_tpu.drivers.train import run_training
+        mesh = None
+        n_dev = len(jax.devices())
+        n_data = args.mesh_data or (n_dev // max(args.mesh_model, 1))
+        if n_data * args.mesh_model > 1:
+            from evstore_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh(n_data, args.mesh_model)
         res = run_training(
             cfg, tcfg, make_train, make_test,
             ckpt_dir=args.save_model or None,
             ev_export_dir=(args.ev_table_path or None),
-            resume=bool(args.load_model), seed=args.numpy_rand_seed)
+            resume=bool(args.load_model), seed=args.numpy_rand_seed,
+            mesh=mesh, dedup_exchange=args.dedup_exchange)
         print(f"training done: steps={res.steps} best={res.best_metric:.4f}")
         return 0
 

@@ -40,9 +40,14 @@ def run_training(cfg: DLRMConfig, tcfg: TrainConfig,
                  ev_export_dir: Optional[str] = None,
                  resume: bool = False,
                  seed: int = 0,
+                 mesh=None,
+                 dedup_exchange: bool = False,
                  log_fn=print) -> TrainResult:
     """Full training run.  make_*_batches are zero-arg callables returning a
-    fresh batch iterator (epochs re-iterate)."""
+    fresh batch iterator (epochs re-iterate).  With `mesh` (a 2D
+    jax.sharding.Mesh over (data, model)) the SPMD sharded step is used:
+    row-sharded tables + psum exchange, batch DP (parallel/sharded.py);
+    dedup_exchange ships unique rows only."""
     mll = MLPerfLogger(log_fn=log_fn)
     mll.event("init_start")
     params = init_dlrm(jax.random.PRNGKey(seed), cfg)
@@ -56,8 +61,20 @@ def run_training(cfg: DLRMConfig, tcfg: TrainConfig,
             start_step = s
             log_fn(f"resumed from checkpoint step {s}")
 
-    step_fn = jax.jit(make_train_step(cfg, tcfg), donate_argnums=(0, 1))
-    eval_step = make_eval_step(cfg) if make_test_batches else None
+    if mesh is not None:
+        from evstore_tpu.parallel.sharded import (make_sharded_eval_step,
+                                                  make_sharded_train_step,
+                                                  shard_dlrm_params)
+        params, opt_state, _, _ = shard_dlrm_params(params, mesh, opt_state)
+        step_fn = make_sharded_train_step(
+            cfg, tcfg, mesh, tcfg.batch_size,
+            dedup_exchange=dedup_exchange)(params, opt_state)
+        eval_step = (make_sharded_eval_step(
+            cfg, mesh, dedup_exchange=dedup_exchange)(params)
+            if make_test_batches else None)
+    else:
+        step_fn = jax.jit(make_train_step(cfg, tcfg), donate_argnums=(0, 1))
+        eval_step = make_eval_step(cfg) if make_test_batches else None
 
     best = -float("inf")
     history = {"loss": [], "eval": []}
@@ -101,7 +118,8 @@ def run_training(cfg: DLRMConfig, tcfg: TrainConfig,
                         save_checkpoint(ckpt_dir, step, params, opt_state,
                                         extra={"metrics": metrics})
                     if ev_export_dir:
-                        export_ev_tables(params, ev_export_dir)
+                        export_ev_tables(params, ev_export_dir,
+                                         table_sizes=cfg.table_sizes)
                 if (tcfg.mlperf_auc_threshold > 0
                         and metrics["auc"] >= tcfg.mlperf_auc_threshold):
                     mll.event("run_stop", {"status": "success"})
@@ -128,7 +146,8 @@ def run_training(cfg: DLRMConfig, tcfg: TrainConfig,
                 save_checkpoint(ckpt_dir, step, params, opt_state,
                                 extra={"metrics": metrics})
             if ev_export_dir:
-                export_ev_tables(params, ev_export_dir)
+                export_ev_tables(params, ev_export_dir,
+                                         table_sizes=cfg.table_sizes)
     mll.event("run_stop", {"status": "done"})
     return TrainResult(params=params, best_metric=best, steps=step,
                        history=history)

@@ -127,12 +127,15 @@ def _local_masked_gather(local_table: jnp.ndarray, idx: jnp.ndarray,
 
 def _sharded_lookup(plain_local: Dict, fact: Dict, idx: jnp.ndarray,
                     plain_rows_in: Dict, cfg: DLRMConfig,
-                    pool_w: Dict = None) -> jnp.ndarray:
+                    pool_w: Dict = None, inv: Dict = None) -> jnp.ndarray:
     rows = []
     for t in range(cfg.num_tables):
         name = f"table_{t}"
         if name in plain_rows_in:
             r = plain_rows_in[name]
+            if inv and name in inv:
+                # dedup exchange shipped unique rows; expand to per-sample
+                r = jnp.take(r, inv[name], axis=0)
             if pool_w and name in pool_w:
                 # pooling weights are replicated; apply post-exchange
                 r = r * jnp.take(pool_w[name], idx[:, t], axis=0)
@@ -142,15 +145,32 @@ def _sharded_lookup(plain_local: Dict, fact: Dict, idx: jnp.ndarray,
     return jnp.stack(rows, axis=1)
 
 
+def _dedup_unique(idx_col: jnp.ndarray, n_rows_global: int):
+    """Static-shape per-table dedup: [Bl] ids -> (uniq[U], inv[Bl]) with
+    U = min(Bl, n_rows_global) and PAD_ROW filling unused slots.  The exchange
+    then ships U unique rows instead of Bl duplicated ones (SURVEY §7 hard
+    part v: dedup the row exchange to stay near speed-of-light bandwidth —
+    for Criteo most tables have n_rows << batch, so U << Bl)."""
+    u_cap = min(int(idx_col.shape[0]), n_rows_global)
+    return jnp.unique(idx_col, return_inverse=True, size=u_cap,
+                      fill_value=PAD_ROW)
+
+
 def make_sharded_train_step(cfg: DLRMConfig, tcfg: TrainConfig, mesh: Mesh,
-                            global_batch: int):
+                            global_batch: int, dedup_exchange: bool = False):
     """Returns a jitted SPMD train step over global (sharded) arrays:
     (params, opt_state, dense_x[B], idx[B,T], labels[B]) ->
-    (params, opt_state, loss)."""
+    (params, opt_state, loss).
+
+    dedup_exchange=True ships min(Bl, n_rows) UNIQUE rows per table through
+    the psum exchange instead of Bl duplicated rows, expanding to per-sample
+    rows after the collective.  The backward pass then all-gathers coalesced
+    unique-row grads over the data axis (smaller than per-sample grads)."""
     opt_init, dense_update, sparse_update = make_optimizer(tcfg.optimizer)
     lr_fn = lr_schedule(tcfg.learning_rate, tcfg.lr_num_warmup_steps,
                         tcfg.lr_decay_start_step, tcfg.lr_num_decay_steps)
     n_data = mesh.shape[DATA_AXIS]
+    n_model = mesh.shape[MODEL_AXIS]
 
     def local_step(params: DLRMParams, opt_state: OptState,
                    dense_x, idx, labels):
@@ -158,11 +178,22 @@ def make_sharded_train_step(cfg: DLRMConfig, tcfg: TrainConfig, mesh: Mesh,
         plain_local, fact = _split_sparse(params.sparse)
 
         # --- forward-visible lookup: masked local gather + psum exchange ---
+        inv_map = {}           # table -> [Bl] positions into its unique rows
+        uniq_map = {}          # table -> [U] unique global row ids
+
         def gather_rows(plain_tabs):
             parts = {}
             for name, tab in plain_tabs.items():
                 t = int(name.split("_")[1])
-                parts[name] = _local_masked_gather(tab, idx[:, t], tab.shape[0])
+                if dedup_exchange:
+                    uniq, inv = _dedup_unique(idx[:, t],
+                                              tab.shape[0] * n_model)
+                    uniq_map[name], inv_map[name] = uniq, inv
+                    parts[name] = _local_masked_gather(tab, uniq,
+                                                       tab.shape[0])
+                else:
+                    parts[name] = _local_masked_gather(tab, idx[:, t],
+                                                       tab.shape[0])
             # one fused collective for all tables (vs 26 tiny ones)
             return jax.lax.psum(parts, MODEL_AXIS)
 
@@ -171,7 +202,7 @@ def make_sharded_train_step(cfg: DLRMConfig, tcfg: TrainConfig, mesh: Mesh,
         def loss_fn(dense_params, fact_params, plain_rows_in):
             emb = _sharded_lookup(plain_local, fact_params, idx,
                                   plain_rows_in, cfg,
-                                  _pool_weights(params.sparse))
+                                  _pool_weights(params.sparse), inv_map)
             logits = dlrm_forward(DLRMParams(dense_params, params.sparse),
                                   dense_x, idx, cfg, emb_rows=emb)
             return dlrm_loss(logits, labels, tcfg.loss_function,
@@ -199,8 +230,16 @@ def make_sharded_train_step(cfg: DLRMConfig, tcfg: TrainConfig, mesh: Mesh,
         new_plain, new_sstate = {}, {}
         for name, tab in plain_local.items():
             t = int(name.split("_")[1])
+            if dedup_exchange:
+                # grads are already coalesced per local-unique row; gather the
+                # (smaller) unique set across data replicas
+                ids_local = uniq_map[name]
+                n_uniq = n_data * ids_local.shape[0]
+            else:
+                ids_local = idx[:, t]
+                n_uniq = global_batch
             g_full = jax.lax.all_gather(g_rows[name], DATA_AXIS, tiled=True)
-            idx_full = jax.lax.all_gather(idx[:, t], DATA_AXIS, tiled=True)
+            idx_full = jax.lax.all_gather(ids_local, DATA_AXIS, tiled=True)
             # grads of the mean over local batch -> scale to global mean
             g_full = g_full / n_data
             # map to local row space; out-of-shard rows -> PAD_ROW (dropped)
@@ -208,7 +247,8 @@ def make_sharded_train_step(cfg: DLRMConfig, tcfg: TrainConfig, mesh: Mesh,
             n_local = tab.shape[0]
             pos = idx_full - shard * n_local
             pos = jnp.where((pos >= 0) & (pos < n_local), pos, PAD_ROW)
-            uniq, summed, valid = dedup_rows(pos, g_full, global_batch)
+            uniq, summed, valid = dedup_rows(pos, g_full, min(n_uniq,
+                                                              global_batch))
             # out-of-shard rows collapse into the single PAD_ROW unique entry,
             # which the scatter drops.
             st = opt_state.sparse.get(name) if opt_state.sparse else None
@@ -240,18 +280,26 @@ def make_sharded_train_step(cfg: DLRMConfig, tcfg: TrainConfig, mesh: Mesh,
     return build
 
 
-def make_sharded_eval_step(cfg: DLRMConfig, mesh: Mesh):
+def make_sharded_eval_step(cfg: DLRMConfig, mesh: Mesh,
+                           dedup_exchange: bool = False):
     """Sharded inference: same exchange, no updates. Returns probabilities."""
+    n_model = mesh.shape[MODEL_AXIS]
 
     def local_fwd(params: DLRMParams, dense_x, idx):
         plain_local, fact = _split_sparse(params.sparse)
-        parts = {}
+        parts, inv_map = {}, {}
         for name, tab in plain_local.items():
             t = int(name.split("_")[1])
-            parts[name] = _local_masked_gather(tab, idx[:, t], tab.shape[0])
+            if dedup_exchange:
+                uniq, inv = _dedup_unique(idx[:, t], tab.shape[0] * n_model)
+                inv_map[name] = inv
+                parts[name] = _local_masked_gather(tab, uniq, tab.shape[0])
+            else:
+                parts[name] = _local_masked_gather(tab, idx[:, t],
+                                                   tab.shape[0])
         plain_rows = jax.lax.psum(parts, MODEL_AXIS)
         emb = _sharded_lookup(plain_local, fact, idx, plain_rows, cfg,
-                              _pool_weights(params.sparse))
+                              _pool_weights(params.sparse), inv_map)
         logits = dlrm_forward(params, dense_x, idx, cfg, emb_rows=emb)
         return jax.nn.sigmoid(logits)
 

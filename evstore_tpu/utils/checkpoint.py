@@ -111,10 +111,12 @@ def quantize_mlps(params: DLRMParams, bits: int = 8) -> DLRMParams:
 # ------------------------------------------------------- EV-table handoff
 
 def export_ev_tables(params: DLRMParams, out_dir: str,
-                     precision: int = 32, also_csv: bool = False) -> list:
+                     precision: int = 32, also_csv: bool = False,
+                     table_sizes=None) -> list:
     """Export trained embedding tables for the storage/cache tier
     (dlrm_s_pytorch.py:1780-1796 exports CSVs; we default to the binary
-    format the backends mmap/pread directly)."""
+    format the backends mmap/pread directly).  `table_sizes` clips mesh
+    padding rows (shard_dlrm_params pads tables to the model-axis size)."""
     from evstore_tpu.cache.storage import write_ev_tables_binary
     tables = []
     for t in range(len(params.sparse)):
@@ -122,7 +124,10 @@ def export_ev_tables(params: DLRMParams, out_dir: str,
         if "kind_plain" not in p:
             raise ValueError("EV export requires plain tables (qr/md tables "
                              "are factorized and have no row-wise EVs)")
-        tables.append(np.asarray(p["kind_plain"]))
+        tab = np.asarray(p["kind_plain"])
+        if table_sizes is not None:
+            tab = tab[:table_sizes[t]]
+        tables.append(tab)
     paths = write_ev_tables_binary(tables, out_dir, precision)
     if also_csv:
         for t, tab in enumerate(tables):

@@ -71,3 +71,15 @@ def test_cli_plain_inference(capsys):
                "--mini-batch-size 8 --nbatches-test 5").split())
     assert rc == 0
     assert "inference done" in capsys.readouterr().out
+
+
+def test_cli_train_sharded_mesh(capsys):
+    """--mesh-data/--mesh-model route training through the SPMD sharded step
+    (8-virtual-device CPU mesh from conftest)."""
+    rc = main(("--arch-sparse-feature-size 4 --arch-embedding-size 40-30 "
+               "--arch-mlp-bot 4-8-4 --arch-mlp-top 8-1 "
+               "--mini-batch-size 16 --num-batches 8 --print-freq 4 "
+               "--mesh-data 2 --mesh-model 4 --dedup-exchange True "
+               "--learning-rate 0.1 --optimizer rwsadagrad").split())
+    assert rc == 0
+    assert "training done" in capsys.readouterr().out

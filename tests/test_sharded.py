@@ -89,6 +89,49 @@ def test_sharded_train_step_matches_single_device(opt):
                                    np.asarray(lyr["w"]), rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (1, 8)])
+def test_sharded_eval_dedup_matches_single_device(mesh_shape):
+    """Dedup unique-row exchange must be numerically identical to the dense
+    per-sample exchange (it ships each distinct row once and re-expands)."""
+    cfg = tiny_dlrm_config()
+    params = init_dlrm(jax.random.PRNGKey(0), cfg)
+    dense, idx, _ = _batch(cfg, 16)
+    expect = np.asarray(jax.nn.sigmoid(dlrm_forward(params, dense, idx, cfg)))
+
+    mesh = make_mesh(*mesh_shape)
+    sparams, _ = shard_dlrm_params(params, mesh)
+    eval_step = make_sharded_eval_step(cfg, mesh, dedup_exchange=True)(sparams)
+    got = np.asarray(eval_step(sparams, dense, idx))
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("opt", ["sgd", "rwsadagrad"])
+def test_sharded_train_dedup_matches_single_device(opt):
+    """One dedup-exchange step must produce the same params as the
+    single-device step — grads of duplicated rows coalesce identically."""
+    cfg = tiny_dlrm_config()
+    tcfg = TrainConfig(batch_size=16, learning_rate=0.1, optimizer=opt)
+    params = init_dlrm(jax.random.PRNGKey(0), cfg)
+    dense, idx, labels = _batch(cfg, 16)
+
+    step1 = jax.jit(make_train_step(cfg, tcfg))
+    p1, o1, loss1 = step1(params, init_opt_state(params, tcfg), dense, idx,
+                          labels)
+
+    mesh = make_mesh(2, 4)
+    opt_state = init_opt_state(params, tcfg)
+    sparams, sopt, _, _ = shard_dlrm_params(params, mesh, opt_state)
+    stepN = make_sharded_train_step(cfg, tcfg, mesh, 16,
+                                    dedup_exchange=True)(sparams, sopt)
+    pN, oN, lossN = stepN(sparams, sopt, dense, idx, labels)
+
+    np.testing.assert_allclose(float(lossN), float(loss1), rtol=1e-5)
+    for name in p1.sparse:
+        a = np.asarray(p1.sparse[name]["kind_plain"])
+        b = np.asarray(pN.sparse[name]["kind_plain"])[:a.shape[0]]
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-6, err_msg=name)
+
+
 def test_sharded_training_reduces_loss():
     cfg = tiny_dlrm_config()
     tcfg = TrainConfig(batch_size=32, learning_rate=0.2, optimizer="rwsadagrad")

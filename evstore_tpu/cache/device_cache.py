@@ -240,6 +240,142 @@ class DeviceC1Cache:
         }
 
 
+def _make_sharded_apply(mesh, axis: str, capacity: int, precision: int):
+    """shard_map apply over a cache array sharded on `axis`: each chip
+    scatters/gathers only the slots it owns and a psum combines the rows —
+    the same masked-gather + psum exchange as the sharded embedding lookup
+    (parallel/sharded.py).  Buffer (miss) rows are replicated; shard 0 serves
+    them so the psum stays exact."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_dev = mesh.shape[axis]
+    if capacity % n_dev:
+        raise ValueError(f"capacity {capacity} must divide the {n_dev}-chip "
+                         f"cache axis")
+    c_local = capacity // n_dev
+    pad = jnp.iinfo(jnp.int32).max
+
+    def local_apply(cache_local, slots, scat_slots, scat_m, buf):
+        me = jax.lax.axis_index(axis)
+        r0 = me * c_local
+        # scatter miss rows into owned slots (pad/foreign -> dropped)
+        pos = scat_slots - r0
+        pos = jnp.where((pos >= 0) & (pos < c_local), pos, pad)
+        cache_local = cache_local.at[pos].set(buf[scat_m], mode="drop")
+        # gather owned cache slots
+        spos = slots - r0
+        own = (spos >= 0) & (spos < c_local)
+        enc = jnp.take(cache_local, jnp.clip(spos, 0, c_local - 1), axis=0)
+        if precision == 8:
+            rows_c = (enc.astype(jnp.float32) / 254.0) * 2.0 - 1.0
+        else:
+            rows_c = enc
+        rows_c = jnp.where(own[..., None], rows_c, 0.0)
+        # buffer-served rows (this-segment inserts): shard 0 only
+        is_buf = (slots >= capacity) & (me == 0)
+        brow = jnp.take(buf, jnp.clip(slots - capacity, 0,
+                                      buf.shape[0] - 1), axis=0)
+        if precision == 8:
+            brow = (brow.astype(jnp.float32) / 254.0) * 2.0 - 1.0
+        rows = rows_c + jnp.where(is_buf[..., None], brow, 0.0)
+        rows = jax.lax.psum(rows, axis)
+        return cache_local, rows
+
+    cache_spec = P(axis, None)
+    fn = jax.shard_map(local_apply, mesh=mesh,
+                       in_specs=(cache_spec, P(), P(), P(), P()),
+                       out_specs=(cache_spec, P()),
+                       check_vma=False)
+    return (jax.jit(fn, donate_argnums=(0,)),
+            NamedSharding(mesh, cache_spec), c_local)
+
+
+class ShardedDeviceC1Cache:
+    """Multi-chip device C1 cache: the HBM slot array is sharded over a mesh
+    axis, so cache CAPACITY scales linearly with chips while the policy
+    (native EvLFU assigner) stays a single host-side trajectory handing out
+    global slot ids.  Per batch: one replicated miss buffer broadcast, one
+    owned-slot scatter per chip, one masked gather + psum — rows come back
+    replicated, ready for a data-parallel model forward.
+
+    The reference has no multi-device cache at all (its C++ engine is one
+    process, cache_manager.cpp; the GPU-pinned driver forces ndevices=1,
+    dlrm_s_pytorch_lock_gpu_C1.py:1613-1614) — this is the TPU-native scale-
+    out of the C1 tier."""
+
+    def __init__(self, cfg: CacheConfig, n_tables: int, dim: int, mesh,
+                 axis: str = None, insert_bucket: int = 4096,
+                 n_reader_threads: int = 4):
+        if cfg.main_precision not in (32, 8):
+            raise ValueError("device cache supports fp32 or int8 rows")
+        from evstore_tpu.native import NativeAssigner, NativeTieredCache
+        axis = axis or mesh.axis_names[0]
+        self.cfg = cfg
+        self.n_tables = n_tables
+        self.dim = dim
+        self.capacity = cfg.total_size
+        self.insert_bucket = insert_bucket
+        self.precision = cfg.main_precision
+        eng_cfg = CacheConfig(policy="evlfu", n_caching_layers=1, total_size=1)
+        self.engine = NativeTieredCache(eng_cfg, n_tables, dim,
+                                        n_reader_threads)
+        self.assigner = NativeAssigner(self.engine, self.capacity,
+                                       cfg.flush_rate, cfg.perfect_item_cap)
+        self._apply, self._sharding, self.c_local = _make_sharded_apply(
+            mesh, axis, self.capacity, self.precision)
+        dtype = jnp.float32 if self.precision == 32 else jnp.uint8
+        self.cache_values = jax.device_put(
+            jnp.zeros((self.capacity, dim), dtype), self._sharding)
+        self.bytes_shipped = 0
+
+    def load_tables(self, tables):
+        self.engine.load_tables(tables)
+        return self
+
+    def open_table_files(self, bin_dir, table_sizes, precision=32):
+        self.engine.open_table_files(bin_dir, table_sizes, precision)
+        return self
+
+    def lookup_batch(self, idx: np.ndarray, as_numpy: bool = False):
+        slots, scat_slots, scat_m, buf = self.assigner.assign_batch(idx)
+        bk = self.insert_bucket
+        M = buf.shape[0]
+        Mp = max(bk, ((M + bk - 1) // bk) * bk)
+        buf_p = np.zeros((Mp, self.dim), np.float32)
+        buf_p[:M] = buf
+        ss = np.full((Mp,), jnp.iinfo(jnp.int32).max, np.int32)
+        sm = np.zeros((Mp,), np.int32)
+        ss[:len(scat_slots)] = scat_slots
+        sm[:len(scat_m)] = scat_m
+        if self.precision == 8:
+            from evstore_tpu.ops.quant import np_quantize_int8
+            payload = np_quantize_int8(buf_p).astype(np.uint8)
+        else:
+            payload = buf_p
+        self.bytes_shipped += payload.nbytes
+        self.cache_values, out = self._apply(
+            self.cache_values, jnp.asarray(slots), jnp.asarray(ss),
+            jnp.asarray(sm), jnp.asarray(payload))
+        return np.asarray(out) if as_numpy else out
+
+    def request_batch(self, idx: np.ndarray) -> np.ndarray:
+        return self.lookup_batch(idx, as_numpy=True)
+
+    def stats(self) -> dict:
+        s = self.assigner.stats()
+        s.update({
+            "capacity": self.capacity,
+            "hbm_bytes_per_chip": int(self.c_local * self.dim
+                                      * (1 if self.precision == 8 else 4)),
+            "bytes_shipped": self.bytes_shipped,
+        })
+        return s
+
+    def close(self):
+        self.engine.close()
+
+
 class NativeDeviceC1Cache:
     """DeviceC1Cache with the policy/free-list/miss-IO in the C++ engine
     (NativeAssigner) — the production configuration: per batch, one C call

@@ -101,3 +101,50 @@ def test_native_device_cache_throughput(setup, rng):
     t0 = time.perf_counter(); nc.request_batch(stream); t_nc = time.perf_counter() - t0
     assert t_nc < t_py, (t_nc, t_py)
     nc.close()
+
+
+def test_sharded_device_cache_matches_single_chip(setup, rng):
+    """Cache slots sharded over an 8-device mesh must produce exactly the
+    rows and policy counters of the single-chip native device cache (the
+    policy is the same host trajectory; only HBM residency is distributed)."""
+    from evstore_tpu.cache.device_cache import ShardedDeviceC1Cache
+    from evstore_tpu.parallel.mesh import make_mesh
+
+    sm, tables = setup
+    cfg = CacheConfig(policy="evlfu", total_size=24, main_precision=32)
+    single = NativeDeviceC1Cache(cfg, N_TABLES, DIM,
+                                 insert_bucket=32).load_tables(tables)
+    mesh = make_mesh(1, 8)
+    shard = ShardedDeviceC1Cache(cfg, N_TABLES, DIM, mesh, axis="model",
+                                 insert_bucket=32).load_tables(tables)
+    stream = np.stack([rng.integers(0, 30, N_TABLES) for _ in range(300)])
+    for lo in range(0, 300, 50):
+        a = single.request_batch(stream[lo:lo + 50])
+        b = shard.request_batch(stream[lo:lo + 50])
+        np.testing.assert_allclose(b, a, rtol=1e-6, atol=1e-7)
+    sa, sb = single.stats(), shard.stats()
+    for k in ("requests", "perfect_hits", "hits", "misses"):
+        if k in sa and k in sb:
+            assert sa[k] == sb[k], k
+    # per-chip HBM is 1/8 of the single-chip footprint
+    assert sb["hbm_bytes_per_chip"] * 8 == sa["hbm_bytes"]
+    single.close(); shard.close()
+
+
+def test_sharded_device_cache_int8(setup, rng):
+    """int8 sharded rows dequantize identically to the single-chip int8."""
+    from evstore_tpu.cache.device_cache import ShardedDeviceC1Cache
+    from evstore_tpu.parallel.mesh import make_mesh
+
+    sm, tables = setup
+    cfg = CacheConfig(policy="evlfu", total_size=16, main_precision=8)
+    single = NativeDeviceC1Cache(cfg, N_TABLES, DIM,
+                                 insert_bucket=16).load_tables(tables)
+    mesh = make_mesh(1, 8)
+    shard = ShardedDeviceC1Cache(cfg, N_TABLES, DIM, mesh, axis="model",
+                                 insert_bucket=16).load_tables(tables)
+    stream = np.stack([rng.integers(0, 20, N_TABLES) for _ in range(120)])
+    a = single.request_batch(stream)
+    b = shard.request_batch(stream)
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+    single.close(); shard.close()

@@ -240,16 +240,21 @@ class DeviceC1Cache:
         }
 
 
-def _make_sharded_apply(mesh, axis: str, capacity: int, precision: int):
-    """shard_map apply over a cache array sharded on `axis`: each chip
-    scatters/gathers only the slots it owns and a psum combines the rows —
-    the same masked-gather + psum exchange as the sharded embedding lookup
-    (parallel/sharded.py).  Buffer (miss) rows are replicated; shard 0 serves
-    them so the psum stays exact."""
+def _make_sharded_apply(mesh, axis, capacity: int, precision: int):
+    """shard_map apply over a cache array sharded on `axis` (one mesh axis
+    name or a tuple of them — default all axes, i.e. every chip holds
+    capacity/n_chips slots): each chip scatters/gathers only the slots it
+    owns and a psum combines the rows — the same masked-gather + psum
+    exchange as the sharded embedding lookup (parallel/sharded.py).  Buffer
+    (miss) rows are replicated; shard 0 serves them so the psum stays
+    exact."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    n_dev = mesh.shape[axis]
+    axes = (axis,) if isinstance(axis, str) else tuple(axis)
+    n_dev = 1
+    for a in axes:
+        n_dev *= mesh.shape[a]
     if capacity % n_dev:
         raise ValueError(f"capacity {capacity} must divide the {n_dev}-chip "
                          f"cache axis")
@@ -257,7 +262,9 @@ def _make_sharded_apply(mesh, axis: str, capacity: int, precision: int):
     pad = jnp.iinfo(jnp.int32).max
 
     def local_apply(cache_local, slots, scat_slots, scat_m, buf):
-        me = jax.lax.axis_index(axis)
+        me = jnp.zeros((), jnp.int32)
+        for a in axes:   # row-major fold over the sharding axes
+            me = me * mesh.shape[a] + jax.lax.axis_index(a)
         r0 = me * c_local
         # scatter miss rows into owned slots (pad/foreign -> dropped)
         pos = scat_slots - r0
@@ -279,10 +286,10 @@ def _make_sharded_apply(mesh, axis: str, capacity: int, precision: int):
         if precision == 8:
             brow = (brow.astype(jnp.float32) / 254.0) * 2.0 - 1.0
         rows = rows_c + jnp.where(is_buf[..., None], brow, 0.0)
-        rows = jax.lax.psum(rows, axis)
+        rows = jax.lax.psum(rows, axes)
         return cache_local, rows
 
-    cache_spec = P(axis, None)
+    cache_spec = P(axes, None)
     fn = jax.shard_map(local_apply, mesh=mesh,
                        in_specs=(cache_spec, P(), P(), P(), P()),
                        out_specs=(cache_spec, P()),
@@ -310,7 +317,7 @@ class ShardedDeviceC1Cache:
         if cfg.main_precision not in (32, 8):
             raise ValueError("device cache supports fp32 or int8 rows")
         from evstore_tpu.native import NativeAssigner, NativeTieredCache
-        axis = axis or mesh.axis_names[0]
+        axis = axis or tuple(mesh.axis_names)   # default: all chips
         self.cfg = cfg
         self.n_tables = n_tables
         self.dim = dim

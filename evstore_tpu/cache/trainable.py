@@ -49,7 +49,7 @@ class TrainableDeviceCache:
 
     def __init__(self, cfg: DLRMConfig, tcfg: TrainConfig, ccfg: CacheConfig,
                  tables: Sequence[np.ndarray], insert_bucket: int = 2048,
-                 eps: float = 1e-10):
+                 eps: float = 1e-10, copy_tables: bool = True):
         if tcfg.optimizer != "rwsadagrad":
             raise ValueError("cached training supports rwsadagrad (the "
                              "reference's sparse optimizer)")
@@ -61,10 +61,22 @@ class TrainableDeviceCache:
         self.n_tables = cfg.num_tables
         self.insert_bucket = insert_bucket
         self.eps = eps
-        # host DRAM master copies (owned, writable — np.asarray of a jax
-        # array yields a read-only view)
-        self.host_tables = [np.array(t, np.float32, copy=True)
-                            for t in tables]
+        # Master copies: host DRAM (owned, writable — np.asarray of a jax
+        # array yields a read-only view) or, with copy_tables=False, the
+        # caller's writable buffers IN PLACE — typically np.memmap over the
+        # .bin EV files, which is the Terabyte configuration: master tables
+        # live on SSD, the OS page cache is the DRAM tier, and the device
+        # cache bounds HBM (see from_files()).
+        if copy_tables:
+            self.host_tables = [np.array(t, np.float32, copy=True)
+                                for t in tables]
+        else:
+            for t in tables:
+                if (t.dtype != np.float32 or not t.flags["C_CONTIGUOUS"]
+                        or not t.flags["WRITEABLE"]):
+                    raise ValueError("copy_tables=False requires writable "
+                                     "C-contiguous float32 buffers")
+            self.host_tables = list(tables)
         self.host_mom = [np.zeros(t.shape[0], np.float32) for t in tables]
         # native assigner over an engine backed by the host tables
         eng_cfg = CacheConfig(policy="evlfu", n_caching_layers=1, total_size=1)
@@ -82,6 +94,41 @@ class TrainableDeviceCache:
                                  tcfg.lr_num_decay_steps)
         self.dropped_updates = 0
         self._step_fn = self._build_step()
+
+    @classmethod
+    def from_files(cls, cfg: DLRMConfig, tcfg: TrainConfig, ccfg: CacheConfig,
+                   bin_dir: str, table_sizes: Sequence[int], **kw):
+        """Terabyte configuration: memory-map the fp32 `ev-table-<t+1>.bin`
+        files (write_ev_tables_binary format) read-write as the master
+        tables, and `mom-<t+1>.bin` row-accumulator files (created zeroed if
+        absent).  DRAM holds only the OS page cache's working set; training
+        write-backs land in the mapped pages and persist via save()/flush.
+
+        The reference's beyond-DRAM story stops at inference (RocksDB/mmap
+        backends, emb_storage/mmap_file_read.py); this extends it to
+        TRAINING at bounded HBM *and* bounded DRAM."""
+        import os
+        D = cfg.embedding_dim
+        tables, moms = [], []
+        for t, n in enumerate(table_sizes):
+            p = os.path.join(bin_dir, f"ev-table-{t + 1}.bin")
+            tables.append(np.memmap(p, np.float32, mode="r+", shape=(n, D)))
+            mp = os.path.join(bin_dir, f"mom-{t + 1}.bin")
+            if not os.path.exists(mp):
+                np.zeros(n, np.float32).tofile(mp)
+            moms.append(np.memmap(mp, np.float32, mode="r+", shape=(n,)))
+        obj = cls(cfg, tcfg, ccfg, tables, copy_tables=False, **kw)
+        obj.host_mom = moms
+        obj._file_backed = True
+        return obj
+
+    def flush_files(self):
+        """Persist file-backed master tables/momenta to disk (no-op for the
+        in-DRAM configuration)."""
+        self.flush_to_host()
+        for arr in list(self.host_tables) + list(self.host_mom):
+            if isinstance(arr, np.memmap):
+                arr.flush()
 
     # ------------------------------------------------------------ jit step
 

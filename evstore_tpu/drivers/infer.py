@@ -43,16 +43,23 @@ def build_cache(ccfg: CacheConfig, cfg: DLRMConfig,
                 storage: StorageManager,
                 altkey_resolver: Optional[AltKeyResolver] = None,
                 use_native: bool = False,
-                use_device_cache: bool = False):
+                use_device_cache: bool = False,
+                mesh=None):
     if ccfg.policy in ("lfu", "lru") and ccfg.n_caching_layers == 1:
         return make_cache_from_policy(ccfg.policy, ccfg.total_size,
                                       cfg.num_tables, storage,
                                       cfg.embedding_dim)
     if use_device_cache:
-        # C1 rows resident in TPU HBM; only misses cross PCIe
-        from evstore_tpu.cache.device_cache import NativeDeviceC1Cache
+        # C1 rows resident in TPU HBM; only misses cross PCIe.  With a mesh
+        # the slot array is sharded over it (capacity scales with chips).
+        from evstore_tpu.cache.device_cache import (NativeDeviceC1Cache,
+                                                    ShardedDeviceC1Cache)
         from evstore_tpu.cache.storage import DummyStore
-        dc = NativeDeviceC1Cache(ccfg, cfg.num_tables, cfg.embedding_dim)
+        if mesh is not None:
+            dc = ShardedDeviceC1Cache(ccfg, cfg.num_tables,
+                                      cfg.embedding_dim, mesh)
+        else:
+            dc = NativeDeviceC1Cache(ccfg, cfg.num_tables, cfg.embedding_dim)
         if isinstance(storage.store, DummyStore):
             dc.load_tables(storage.store.tables)
         else:
@@ -86,15 +93,17 @@ def run_inference(params: DLRMParams, cfg: DLRMConfig, ccfg: CacheConfig,
                   use_native: bool = False,
                   use_device_cache: bool = False,
                   pipeline_depth: int = 0,
+                  mesh=None,
                   log_fn=print) -> InferenceResult:
     """Run tiered-cache inference over `batches` of (dense, idx, labels).
 
     pipeline_depth > 0 runs the host tier lookup on a prefetch thread so the
     assign/fetch for batch k+1 overlaps the device compute of batch k (the
     ctypes engine call releases the GIL); policy order is preserved (one
-    worker, sequential batches)."""
+    worker, sequential batches).  mesh (with use_device_cache) shards the
+    HBM slot array over the mesh's devices."""
     cache = build_cache(ccfg, cfg, storage, altkey_resolver, use_native,
-                        use_device_cache)
+                        use_device_cache, mesh=mesh)
     import jax.numpy as jnp
 
     @jax.jit

@@ -74,3 +74,28 @@ def test_pipelined_inference_matches_sequential():
                                        atol=1e-6)
     assert r_pipe.cache_stats["perfect_hits"] == \
         r_seq.cache_stats["perfect_hits"]
+
+
+def test_sharded_device_cache_inference_matches_plain():
+    """run_inference with a mesh shards the HBM slot array over 8 virtual
+    devices; metrics must match the plain full-table forward."""
+    from evstore_tpu.parallel.mesh import make_mesh
+
+    cfg = tiny_dlrm_config()
+    params = init_dlrm(jax.random.PRNGKey(0), cfg)
+    tables = [np.asarray(params.sparse[f"table_{t}"]["kind_plain"])
+              for t in range(cfg.num_tables)]
+    sm = StorageManager("dummy", dim=cfg.embedding_dim).load(tables=tables)
+    dcfg = RandomDataConfig(num_dense=cfg.num_dense_features,
+                            table_sizes=cfg.table_sizes, batch_size=16,
+                            num_batches=10, seed=5, distribution="zipf")
+    ccfg = CacheConfig(policy="evlfu", n_caching_layers=1, total_size=64,
+                       main_precision=32)
+    res = run_inference(params, cfg, ccfg, random_batches(dcfg), sm,
+                        use_device_cache=True, mesh=make_mesh(1, 8),
+                        log_fn=lambda *_: None)
+    plain = evaluate(params, cfg, random_batches(dcfg))
+    for k in res.metrics:
+        if not np.isnan(res.metrics[k]):
+            np.testing.assert_allclose(res.metrics[k], plain[k], atol=1e-5)
+    assert res.cache_stats["hbm_bytes_per_chip"] == 64 // 8 * cfg.embedding_dim * 4

@@ -200,3 +200,37 @@ def test_save_load_resume(tmp_path):
     paths = tc_c.export_ev_tables(str(tmp_path / "ev"))
     assert len(paths) == cfg.num_tables
     tc_a.close(); tc_c.close()
+
+
+def test_file_backed_training_matches_in_ram(tmp_path):
+    """Terabyte configuration: memmapped .bin master tables must train
+    identically to the in-DRAM copies, and updates must persist to the
+    files (the beyond-DRAM TRAINING capability)."""
+    import jax.numpy as jnp
+    from evstore_tpu.cache.storage import write_ev_tables_binary
+
+    cfg, tcfg, ccfg, params, tables, dcfg = _setup(capacity=12, n_batches=40)
+    write_ev_tables_binary(tables, str(tmp_path), 32)
+
+    ram = TrainableDeviceCache(cfg, tcfg, ccfg, tables)
+    fb = TrainableDeviceCache.from_files(cfg, tcfg, ccfg, str(tmp_path),
+                                         [t.shape[0] for t in tables])
+    dense_r = dense_f = params.dense
+    dst_r = dst_f = jax.tree_util.tree_map(
+        lambda p: jnp.zeros_like(p, dtype=jnp.float32), params.dense)
+    for k, (dx, idx, y) in enumerate(learnable_batches(dcfg)):
+        dense_r, dst_r, l_r = ram.train_batch(dense_r, dst_r, k, dx, idx, y)
+        dense_f, dst_f, l_f = fb.train_batch(dense_f, dst_f, k, dx, idx, y)
+        np.testing.assert_allclose(float(l_f), float(l_r), rtol=1e-6)
+    ram.flush_to_host()
+    fb.flush_files()
+    for t in range(cfg.num_tables):
+        np.testing.assert_allclose(fb.host_tables[t], ram.host_tables[t],
+                                   rtol=1e-6, atol=1e-7)
+    # persistence: re-open the files cold; trained rows must be there
+    reopened = np.memmap(tmp_path / "ev-table-1.bin", np.float32, mode="r",
+                         shape=tables[0].shape)
+    np.testing.assert_allclose(np.asarray(reopened), ram.host_tables[0],
+                               rtol=1e-6, atol=1e-7)
+    assert not np.allclose(np.asarray(reopened), tables[0])  # actually trained
+    ram.close(); fb.close()

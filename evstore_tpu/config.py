@@ -53,6 +53,12 @@ class DLRMConfig:
     # matmuls (measured 38x step regression).  Keep False unless profiling
     # a standalone interaction.
     use_pallas_interaction: bool = False
+    # Pallas DMA row-gather for plain-table lookups (ops/pallas_gather.py).
+    # Only engages when rows are 128-lane aligned (D % 128 == 0, e.g. the
+    # MLPerf dim-128 recipe) on a TPU backend; otherwise silently falls back
+    # to the XLA gather.  A/B with scripts/ab_pallas_gather.py before
+    # enabling for a new config — pallas_call is a fusion barrier.
+    use_pallas_gather: bool = False
     weighted_pooling: Optional[str] = None   # None | "learned" | "fixed"
     loss_threshold: float = 0.0              # clamp predictions (dlrm_s_pytorch.py:1034)
 

@@ -173,7 +173,11 @@ def sparse_arch_lookup(params: Dict[str, dict], idx: jnp.ndarray, cfg) -> jnp.nd
         elif "kind_md" in p:
             rows = md_lookup(p["kind_md"], idx[:, t])
         else:
-            rows = jnp.take(p["kind_plain"], idx[:, t], axis=0)
+            if getattr(cfg, "use_pallas_gather", False):
+                from evstore_tpu.ops.pallas_gather import gather_rows_grad
+                rows = gather_rows_grad(p["kind_plain"], idx[:, t])
+            else:
+                rows = jnp.take(p["kind_plain"], idx[:, t], axis=0)
             if "pool_w" in p:
                 rows = rows * jnp.take(p["pool_w"], idx[:, t], axis=0)
         outs.append(rows)

@@ -135,3 +135,36 @@ def gather_rows_auto(table: jax.Array, idx: jax.Array,
 def gather_rows_dequant_int8_ref(table_u8: jax.Array, idx: jax.Array) -> jax.Array:
     v = jnp.take(table_u8, idx, axis=0).astype(jnp.float32)
     return (v / 254.0) * 2.0 - 1.0
+
+
+# --------------------------------------------------- differentiable wrapper
+
+@functools.lru_cache(maxsize=None)
+def _gather_grad_for(shape, dtype_name: str):
+    """custom_vjp gather specialized to a (static) table shape/dtype —
+    residuals may only hold JAX values, so the statics close over."""
+    dtype = jnp.dtype(dtype_name)
+
+    @jax.custom_vjp
+    def g(table, idx):
+        return gather_rows_auto(table, idx)
+
+    def fwd(table, idx):
+        return gather_rows_auto(table, idx), idx
+
+    def bwd(idx, ct):
+        gt = jnp.zeros(shape, dtype).at[idx].add(ct.astype(dtype))
+        return gt, None
+
+    g.defvjp(fwd, bwd)
+    return g
+
+
+def gather_rows_grad(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """gather_rows_auto with a VJP (pallas_call has no transpose rule).
+
+    The framework's train steps differentiate w.r.t. the *gathered rows*
+    (train_loop.py), so this VJP normally never runs; it exists so
+    dlrm_forward stays differentiable end-to-end when the Pallas gather is
+    enabled (cotangent = scatter-add into a zeros table, the take-VJP)."""
+    return _gather_grad_for(tuple(table.shape), str(table.dtype))(table, idx)

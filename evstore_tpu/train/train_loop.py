@@ -81,8 +81,15 @@ def make_train_step(cfg: DLRMConfig, tcfg: TrainConfig):
                    dense_x, idx, labels):
         plain, fact = _split_sparse(params.sparse)
         pool_w = _pool_weights(params.sparse)
-        # gather rows for plain tables (the only autodiff entry point into them)
-        plain_rows = {name: jnp.take(tab, idx[:, int(name.split("_")[1])], axis=0)
+        # gather rows for plain tables (the only autodiff entry point into
+        # them — grads attach to the gathered ROWS, so the gather itself is
+        # forward-only and the Pallas DMA version needs no transpose)
+        if getattr(cfg, "use_pallas_gather", False):
+            from evstore_tpu.ops.pallas_gather import gather_rows_auto
+            _take = gather_rows_auto
+        else:
+            _take = lambda tab, col: jnp.take(tab, col, axis=0)
+        plain_rows = {name: _take(tab, idx[:, int(name.split("_")[1])])
                       for name, tab in plain.items()}
         w_rows = {name: jnp.take(w, idx[:, int(name.split("_")[1])], axis=0)
                   for name, w in pool_w.items()}

@@ -76,3 +76,60 @@ def test_pallas_interaction_gradients_match_xla(rng):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gly_p), np.asarray(gly_x),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_gather_rows_grad_matches_take_vjp():
+    """Differentiable gather wrapper: value and table-cotangent must equal
+    the jnp.take path (on CPU it routes to the XLA gather)."""
+    import jax
+    import jax.numpy as jnp
+    from evstore_tpu.ops.pallas_gather import gather_rows_grad
+
+    table = jnp.asarray(np.random.default_rng(0).random((40, 8), np.float32))
+    idx = jnp.asarray([1, 3, 3, 7, 39, 0], jnp.int32)
+
+    def f_pallas(t):
+        return jnp.sum(gather_rows_grad(t, idx) ** 2)
+
+    def f_take(t):
+        return jnp.sum(jnp.take(t, idx, axis=0) ** 2)
+
+    np.testing.assert_allclose(float(f_pallas(table)), float(f_take(table)),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(jax.grad(f_pallas)(table)),
+                               np.asarray(jax.grad(f_take)(table)),
+                               rtol=1e-6)
+
+
+def test_use_pallas_gather_flag_equivalence():
+    """cfg.use_pallas_gather must not change results (CPU falls back to the
+    XLA gather; the flag only swaps the gather implementation)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from evstore_tpu.config import TrainConfig, tiny_dlrm_config
+    from evstore_tpu.models.dlrm import dlrm_forward, init_dlrm
+    from evstore_tpu.train.train_loop import init_opt_state, make_train_step
+
+    cfg = tiny_dlrm_config()
+    cfg_p = dataclasses.replace(cfg, use_pallas_gather=True)
+    tcfg = TrainConfig(batch_size=8, learning_rate=0.1, optimizer="sgd")
+    params = init_dlrm(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    dx = jnp.asarray(rng.random((8, cfg.num_dense_features), np.float32))
+    idx = jnp.asarray(np.stack([rng.integers(0, s, 8)
+                                for s in cfg.table_sizes], 1), jnp.int32)
+    y = jnp.asarray(rng.integers(0, 2, 8).astype(np.float32))
+
+    np.testing.assert_allclose(
+        np.asarray(dlrm_forward(params, dx, idx, cfg_p)),
+        np.asarray(dlrm_forward(params, dx, idx, cfg)), rtol=1e-6)
+    p1, _, l1 = jax.jit(make_train_step(cfg, tcfg))(
+        params, init_opt_state(params, tcfg), dx, idx, y)
+    p2, _, l2 = jax.jit(make_train_step(cfg_p, tcfg))(
+        params, init_opt_state(params, tcfg), dx, idx, y)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-6)
+    for name in p1.sparse:
+        np.testing.assert_allclose(
+            np.asarray(p2.sparse[name]["kind_plain"]),
+            np.asarray(p1.sparse[name]["kind_plain"]), rtol=1e-6)

@@ -17,7 +17,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
 def run_point(n_devices: int, per_device_batch: int, n_model: int,
-              steps: int = 30):
+              steps: int = 30, dedup: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -39,7 +39,8 @@ def run_point(n_devices: int, per_device_batch: int, n_model: int,
     params = init_dlrm(jax.random.PRNGKey(0), cfg)
     opt = init_opt_state(params, tcfg)
     params, opt, _, _ = shard_dlrm_params(params, mesh, opt)
-    step = make_sharded_train_step(cfg, tcfg, mesh, B)(params, opt)
+    step = make_sharded_train_step(cfg, tcfg, mesh, B,
+                                   dedup_exchange=dedup)(params, opt)
     rng = np.random.default_rng(0)
     dense = jnp.asarray(rng.random((B, 13)), jnp.float32)
     idx = jnp.asarray(np.stack([rng.integers(0, s, B)
@@ -62,6 +63,8 @@ def main():
     p.add_argument("--max-devices", type=int, default=0)
     p.add_argument("--per-device-batch", type=int, default=256)
     p.add_argument("--n-model", type=int, default=2)
+    p.add_argument("--dedup-exchange", action="store_true",
+                   help="ship unique rows through the exchange")
     args = p.parse_args()
     import jax
     if args.virtual:
@@ -71,7 +74,8 @@ def main():
     points = []
     n = 1
     while n <= maxd:
-        eps = run_point(n, args.per_device_batch, args.n_model)
+        eps = run_point(n, args.per_device_batch, args.n_model,
+                        dedup=args.dedup_exchange)
         points.append({"devices": n, "examples_per_s": eps,
                        "per_device": eps / n})
         print(json.dumps(points[-1]), flush=True)

@@ -53,6 +53,10 @@ class TrainableDeviceCache:
         if tcfg.optimizer != "rwsadagrad":
             raise ValueError("cached training supports rwsadagrad (the "
                              "reference's sparse optimizer)")
+        if ccfg.main_precision not in (32, 16):
+            raise ValueError("trainable cache rows are fp32 or bf16 "
+                             "(main_precision 32/16); the int4/8 codecs are "
+                             "inference-tier only")
         from evstore_tpu.native import NativeAssigner, NativeTieredCache
         self.cfg = cfg
         self.tcfg = tcfg
@@ -61,6 +65,13 @@ class TrainableDeviceCache:
         self.n_tables = cfg.num_tables
         self.insert_bucket = insert_bucket
         self.eps = eps
+        # bf16 cached rows halve the cache HBM (TPU-native 16-bit: bf16
+        # matches the MXU input format, unlike the reference's custom ushort
+        # codec, evlfu_16.cpp:332-347 — a CPU-decode format).  Updates
+        # compute in fp32 and round to bf16 on the store; momenta stay fp32.
+        # Master (DRAM) copies stay fp32 — write-backs upcast.
+        self.cache_dtype = (jnp.float32 if ccfg.main_precision == 32
+                            else jnp.bfloat16)
         # Master copies: host DRAM (owned, writable — np.asarray of a jax
         # array yields a read-only view) or, with copy_tables=False, the
         # caller's writable buffers IN PLACE — typically np.memmap over the
@@ -87,7 +98,8 @@ class TrainableDeviceCache:
         self.assigner = NativeAssigner(self.engine, self.capacity,
                                        ccfg.flush_rate, ccfg.perfect_item_cap)
         # device working set
-        self.cache_values = jnp.zeros((self.capacity, self.dim), jnp.float32)
+        self.cache_values = jnp.zeros((self.capacity, self.dim),
+                                      self.cache_dtype)
         self.cache_mom = jnp.zeros((self.capacity,), jnp.float32)
         self.lr_fn = lr_schedule(tcfg.learning_rate, tcfg.lr_num_warmup_steps,
                                  tcfg.lr_decay_start_step,
@@ -147,12 +159,18 @@ class TrainableDeviceCache:
             and the dying pre-apply slot for mid-batch-evicted keys (their
             update is intentionally dropped with the cell)."""
             # scatter miss rows (+ their momenta) into their cache slots
-            cache = cache.at[scat_slots].set(buf[scat_m], mode="drop")
+            store_dt = cache.dtype    # fp32 or bf16 (halved cache HBM)
+            cache = cache.at[scat_slots].set(buf[scat_m].astype(store_dt),
+                                             mode="drop")
             mom_c = mom_c.at[scat_slots].set(buf_mom[scat_m], mode="drop")
 
             in_cache = gather_idx < C
             safe_c = jnp.where(in_cache, gather_idx, 0)
             safe_b = jnp.where(in_cache, 0, gather_idx - C)
+
+            # grads/updates in fp32 regardless of the storage dtype; the
+            # round-trip is exact for untouched rows (bf16->f32->bf16)
+            cache_f = cache.astype(jnp.float32)
 
             def loss_fn(dparams, cache_in, buf_in):
                 emb = jnp.where(in_cache[..., None],
@@ -163,7 +181,7 @@ class TrainableDeviceCache:
                                  tcfg.loss_weights)
 
             loss, (g_dense, g_cache, g_buf) = jax.value_and_grad(
-                loss_fn, argnums=(0, 1, 2))(dense_params, cache, buf)
+                loss_fn, argnums=(0, 1, 2))(dense_params, cache_f, buf)
             # g_cache/g_buf are dense over the working set (C and Mp rows) —
             # tiny next to the tables; duplicate positions accumulate
             # automatically in autodiff (the torch-sparse coalesce).
@@ -171,7 +189,8 @@ class TrainableDeviceCache:
             touched_c = mom_inc_c > 0
             mom_c2 = mom_c + mom_inc_c
             std_c = jnp.sqrt(mom_c2) + eps
-            cache = cache - (lr * g_cache / std_c[:, None]) * touched_c[:, None]
+            cache = (cache_f - (lr * g_cache / std_c[:, None])
+                     * touched_c[:, None]).astype(store_dt)
 
             mom_inc_b = jnp.mean(g_buf * g_buf, axis=1)
             touched_b = mom_inc_b > 0
@@ -198,7 +217,8 @@ class TrainableDeviceCache:
     def _writeback_evicted(self, ev_keys, ev_slots):
         if len(ev_keys) == 0:
             return
-        rows = np.asarray(self.cache_values[jnp.asarray(ev_slots)])
+        rows = np.asarray(self.cache_values[jnp.asarray(ev_slots)]
+                          .astype(jnp.float32))
         moms = np.asarray(self.cache_mom[jnp.asarray(ev_slots)])
         ts = np.asarray([k[0] for k in ev_keys])
         rs = np.asarray([k[1] for k in ev_keys])
@@ -324,7 +344,9 @@ class TrainableDeviceCache:
         s = self.assigner.stats()
         s.update({
             "capacity": self.capacity,
-            "hbm_bytes": int(self.capacity * (self.dim + 1) * 4),
+            "hbm_bytes": int(self.capacity *
+                             (self.dim * jnp.dtype(self.cache_dtype).itemsize
+                              + 4)),
             "dropped_updates": self.dropped_updates,
         })
         return s

@@ -234,3 +234,29 @@ def test_file_backed_training_matches_in_ram(tmp_path):
                                rtol=1e-6, atol=1e-7)
     assert not np.allclose(np.asarray(reopened), tables[0])  # actually trained
     ram.close(); fb.close()
+
+
+def test_bf16_cache_rows_track_fp32():
+    """main_precision=16 stores cached rows as bf16 (half the cache HBM);
+    training must track the fp32-cache run closely and still learn."""
+    import jax.numpy as jnp
+
+    cfg, tcfg, ccfg, params, tables, dcfg = _setup(capacity=64, n_batches=60)
+    c16 = CacheConfig(policy="evlfu", total_size=64, main_precision=16)
+    tc32 = TrainableDeviceCache(cfg, tcfg, ccfg, tables)
+    tc16 = TrainableDeviceCache(cfg, tcfg, c16, tables)
+    assert tc16.cache_values.dtype == jnp.bfloat16
+    assert tc16.stats()["hbm_bytes"] < tc32.stats()["hbm_bytes"]
+
+    dense32 = dense16 = params.dense
+    d32 = d16 = jax.tree_util.tree_map(
+        lambda p: jnp.zeros_like(p, dtype=jnp.float32), params.dense)
+    l32s, l16s = [], []
+    for k, (dx, idx, y) in enumerate(learnable_batches(dcfg)):
+        dense32, d32, l32 = tc32.train_batch(dense32, d32, k, dx, idx, y)
+        dense16, d16, l16 = tc16.train_batch(dense16, d16, k, dx, idx, y)
+        l32s.append(float(l32)); l16s.append(float(l16))
+    # both learn, and bf16 stays near the fp32 trajectory
+    assert np.mean(l16s[-10:]) < np.mean(l16s[:10])
+    assert abs(np.mean(l16s[-10:]) - np.mean(l32s[-10:])) < 0.05
+    tc32.close(); tc16.close()

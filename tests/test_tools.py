@@ -107,3 +107,21 @@ def test_profiling_helpers(tmp_path):
         pass
     with profile_trace(str(tmp_path / "prof"), enabled=False):
         pass
+
+
+def test_plot_cdf_tool(tmp_path):
+    """plot_cdf renders a PNG (or ASCII fallback) from LatencyRecorder CSVs
+    (≙ script/plot_cdf.py)."""
+    from evstore_tpu.tools.plot_cdf import main, read_cdf
+    from evstore_tpu.utils.trace import LatencyRecorder
+
+    lat = LatencyRecorder()
+    for i in range(200):
+        lat.record(0.001 + (i % 37) * 1e-5)
+    p = tmp_path / "cdf.csv"
+    lat.write_cdf(str(p))
+    lats, qs = read_cdf(str(p))
+    assert len(lats) == len(qs) > 10
+    assert qs[-1] == 1.0
+    rc = main([str(p), "--out", str(tmp_path / "cdf.png")])
+    assert rc == 0

@@ -321,12 +321,19 @@ class ShardedDeviceC1Cache:
         self.cfg = cfg
         self.n_tables = n_tables
         self.dim = dim
-        self.capacity = cfg.total_size
         self.insert_bucket = insert_bucket
         self.precision = cfg.main_precision
-        eng_cfg = CacheConfig(policy="evlfu", n_caching_layers=1, total_size=1)
-        self.engine = NativeTieredCache(eng_cfg, n_tables, dim,
-                                        n_reader_threads)
+        if cfg.n_caching_layers >= 2:
+            # hybrid: sharded device C1 + host C2/C3 (see NativeDeviceC1Cache)
+            self.engine = NativeTieredCache(cfg, n_tables, dim,
+                                            n_reader_threads)
+            self.capacity = cfg.tier_capacities()[0]
+        else:
+            eng_cfg = CacheConfig(policy="evlfu", n_caching_layers=1,
+                                  total_size=1)
+            self.engine = NativeTieredCache(eng_cfg, n_tables, dim,
+                                            n_reader_threads)
+            self.capacity = cfg.total_size
         self.assigner = NativeAssigner(self.engine, self.capacity,
                                        cfg.flush_rate, cfg.perfect_item_cap)
         self._apply, self._sharding, self.c_local = _make_sharded_apply(
@@ -338,6 +345,11 @@ class ShardedDeviceC1Cache:
 
     def load_tables(self, tables):
         self.engine.load_tables(tables)
+        return self
+
+    def load_altkeys(self, alt_tables):
+        self.engine.load_altkeys([np.asarray(a, np.uint32)
+                                  for a in alt_tables])
         return self
 
     def open_table_files(self, bin_dir, table_sizes, precision=32):
@@ -398,13 +410,25 @@ class NativeDeviceC1Cache:
         self.cfg = cfg
         self.n_tables = n_tables
         self.dim = dim
-        self.capacity = cfg.total_size
         self.insert_bucket = insert_bucket
         self.precision = cfg.main_precision
-        # the engine provides storage + reader pool; its own tiers are unused
-        eng_cfg = CacheConfig(policy="evlfu", n_caching_layers=1, total_size=1)
-        self.engine = NativeTieredCache(eng_cfg, n_tables, dim,
-                                        n_reader_threads)
+        if cfg.n_caching_layers >= 2:
+            # hybrid tier stack: device C1 (HBM slots, this class) backed by
+            # the engine's host C2 (DRAM, secondary precision) and C3
+            # (alt-key) tiers — misses are served from C2/C3 without storage
+            # IO; true-miss insertion splits C1/C2 by the reference's
+            # heuristic (evlfu_8.cpp:724-736).  Capacity splits per
+            # size_proportion with precision-scaled entry counts.
+            self.engine = NativeTieredCache(cfg, n_tables, dim,
+                                            n_reader_threads)
+            self.capacity = cfg.tier_capacities()[0]
+        else:
+            # engine provides storage + reader pool only; tiers unused
+            eng_cfg = CacheConfig(policy="evlfu", n_caching_layers=1,
+                                  total_size=1)
+            self.engine = NativeTieredCache(eng_cfg, n_tables, dim,
+                                            n_reader_threads)
+            self.capacity = cfg.total_size
         self.assigner = NativeAssigner(self.engine, self.capacity,
                                        cfg.flush_rate, cfg.perfect_item_cap)
         dtype = jnp.float32 if self.precision == 32 else jnp.uint8
@@ -413,6 +437,12 @@ class NativeDeviceC1Cache:
 
     def load_tables(self, tables):
         self.engine.load_tables(tables)
+        return self
+
+    def load_altkeys(self, alt_tables):
+        """C3 alt-key source tables (offline kNN product, tools/gen_altkeys)."""
+        self.engine.load_altkeys([np.asarray(a, np.uint32)
+                                  for a in alt_tables])
         return self
 
     def open_table_files(self, bin_dir, table_sizes, precision=32):
@@ -455,6 +485,12 @@ class NativeDeviceC1Cache:
                              * (1 if self.precision == 8 else 4)),
             "bytes_shipped": self.bytes_shipped,
         })
+        if self.cfg.n_caching_layers >= 2:
+            es = self.engine.stats()
+            if "c2" in es:
+                s["c2"] = es["c2"]
+            if "c3" in es:
+                s["c3"] = es["c3"]
         return s
 
     def close(self):

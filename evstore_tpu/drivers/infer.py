@@ -65,6 +65,9 @@ def build_cache(ccfg: CacheConfig, cfg: DLRMConfig,
         else:
             raise ValueError("device cache file mode: use "
                              "NativeDeviceC1Cache.open_table_files directly")
+        if altkey_resolver is not None and ccfg.n_caching_layers >= 3:
+            dc.load_altkeys([np.asarray(t, "uint32")
+                             for t in altkey_resolver.tables])
         return dc
     if use_native:
         from evstore_tpu.cache.storage import DummyStore

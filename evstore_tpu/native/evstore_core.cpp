@@ -241,6 +241,17 @@ class EvLFUTier {
   void set(uint64_t k, const uint8_t* val, int agg,
            std::vector<uint64_t>* evicted,
            std::vector<int32_t>* evicted_slots = nullptr) {
+    // re-set of a resident key updates in place (a second insert would
+    // orphan the old entry in its bucket)
+    if (Entry* ex = find(k)) {
+      memcpy(ex->value, val, nb_);
+      if (agg > ex->agg) {
+        buckets_[ex->agg].remove(ex);
+        buckets_[agg].push_back(ex);
+        ex->agg = agg;
+      }
+      return;
+    }
     auto drop = [&](Entry* e) {
       if (evicted) evicted->push_back(e->key);
       if (evicted_slots) {
@@ -819,6 +830,17 @@ static long assign_batch_impl(void* h, const int64_t* idx, long B,
   std::vector<uint64_t> evicted_keys_tmp;
   long n_evicted = 0;
 
+  // hybrid mode: the device C1 (HBM slots, this assigner) backs onto the
+  // engine's host C2 (DRAM, secondary precision) and C3 (alt-key) tiers —
+  // the full EVStore stack with C1 living in TPU HBM.  Inference only:
+  // training write-backs would invalidate the C2 copies.
+  const bool hybrid = (!train && eng->c2 != nullptr);
+  std::vector<uint8_t> m_filled;                   // 1 = served from C2/C3
+  // designated C2 inserts: (m, key, agg) encoded after the storage fetch
+  // (the C1/C2 miss split, evlfu_8.cpp:724-736)
+  std::vector<std::pair<int32_t, std::pair<uint64_t, int>>> c2_inserts;
+  std::vector<uint64_t> c1_evicted_for_c3;
+
   auto record_evictions = [&](const std::vector<uint64_t>& keys) {
     for (size_t i = 0; i < keys.size(); i++) {
       int32_t s = evicted_slots[i];
@@ -836,6 +858,9 @@ static long assign_batch_impl(void* h, const int64_t* idx, long B,
           out_evicted_slots[n_evicted] = s;
           n_evicted++;
         }
+        // evicted C1 keys stream into C3 as alt-key entries
+        // (evlfu_8.cpp:654-658)
+        if (hybrid && eng->c3) c1_evicted_for_c3.push_back(keys[i]);
         // a slot evicted in train mode keeps its pre-apply row until the
         // caller snapshots it; any stale scatter entry targeting it must
         // not resurrect data for the (future) reuse of the slot
@@ -855,6 +880,7 @@ static long assign_batch_impl(void* h, const int64_t* idx, long B,
   auto buffer_serve = [&](uint64_t key, int t, int64_t row) -> int32_t {
     int32_t m = (int32_t)buf_keys.size();
     buf_keys.push_back({t, row});
+    m_filled.push_back(0);
     seg_buf[key] = C + m;
     return C + m;
   };
@@ -870,6 +896,22 @@ static long assign_batch_impl(void* h, const int64_t* idx, long B,
       hits[t] = pol->find(k) != nullptr;
       if (hits[t]) { agg++; pol->n_hits++; }
     }
+    // hybrid: C2 phase-1 probe (no promote) — combined c1_c2_agg drives the
+    // policy decisions (evlfu_8.cpp request_to_c1_c2:511-561)
+    bool c2hit[64] = {false};
+    if (hybrid) {
+      eng->c2->n_lookups += T;
+      for (int t = 0; t < T; t++) {
+        if (hits[t]) continue;
+        if (eng->c2->find(make_key(t, rows[t]))) {
+          c2hit[t] = true; agg++; eng->c2->n_hits++;
+        }
+      }
+    }
+    // C1-full + low combined agg -> split true misses between C1 (HBM) and
+    // C2 (DRAM) by position parity (evlfu_8.cpp:724-736)
+    const bool split_misses = hybrid && pol->size() >= da.capacity
+                              && agg < eng->high_agg_threshold;
     for (int t = 0; t < T; t++) {
       uint64_t k = make_key(t, rows[t]);
       int32_t out;
@@ -908,18 +950,77 @@ static long assign_batch_impl(void* h, const int64_t* idx, long B,
             out = slot;
           }
         }
+      } else if (hybrid && c2hit[t]) {
+        // C2 hit: serve decoded secondary-precision bytes from DRAM — no
+        // storage IO; phase-2 promotes the C2 entry with the combined agg
+        // (evlfu_8.cpp:611-614).  The row stays C2-resident (no C1 insert).
+        auto sit = seg_buf.find(k);
+        if (sit != seg_buf.end()) {
+          out = sit->second;               // already shipped this segment
+        } else {
+          Entry* e2 = eng->c2->find(k);
+          out = buffer_serve(k, t, rows[t]);
+          m_filled.back() = 1;
+          decode_row(e2->value, out_buf + (size_t)(out - C) * D,
+                     eng->c2->precision(), D);
+        }
+        eng->c2->update_agg(k, agg);
       } else {
-        evicted_keys_tmp.clear();
-        evicted_slots.clear();
-        pol->set(k, (const uint8_t*)&DeviceAssign::kNoSlot, agg,
-                 &evicted_keys_tmp, &evicted_slots);
-        record_evictions(evicted_keys_tmp);
-        out = buffer_serve(k, t, rows[t]);
-        int32_t slot = take_slot();
-        if (slot >= 0) {
-          Entry* e = pol->find(k);
-          memcpy(e->value, &slot, 4);
-          scat[slot] = out - C;
+        bool served = false;
+        if (hybrid) {
+          // a C2-designated / approx-served key repeats within the batch:
+          // serve its existing buffer copy (a second designation would
+          // duplicate the C2 insert)
+          auto sit = seg_buf.find(k);
+          if (sit != seg_buf.end()) { out = sit->second; served = true; }
+        }
+        // double miss: consult C3 alt-key and re-probe C1 then C2 with the
+        // approximate key (evlfu_8.cpp find_approximate_ev:474-490)
+        if (!served && hybrid && eng->c3) {
+          uint32_t ak;
+          if (eng->c3->get(k, &ak)) {
+            // altKey = tableId + 100*rowId (convert_altkeys_to_binary.py:50)
+            uint64_t akk = make_key((int)(ak % 100), (int64_t)(ak / 100));
+            auto itb = seg_buf.find(akk);
+            Entry* e1 = pol->find(akk);
+            if (itb != seg_buf.end()) {
+              out = itb->second; served = true;   // alt row already shipped
+            } else if (e1) {
+              int32_t slot;
+              memcpy(&slot, e1->value, 4);
+              if (slot >= 0) { da.pinned[slot] = 1; out = slot; served = true; }
+            }
+            if (!served) {
+              Entry* e2 = eng->c2->find(akk);
+              if (e2) {
+                out = buffer_serve(k, t, rows[t]);
+                m_filled.back() = 1;
+                decode_row(e2->value, out_buf + (size_t)(out - C) * D,
+                           eng->c2->precision(), D);
+                served = true;
+              }
+            }
+            if (served) { eng->c3_hits++; eng->c3->set_recency(k); }
+          }
+        }
+        if (!served && split_misses && (t % 2 == 0)) {
+          // designated C2 insert: fetch from storage, encode into C2 after
+          // the batched read; the key gets NO device slot
+          out = buffer_serve(k, t, rows[t]);
+          c2_inserts.push_back({out - C, {k, agg}});
+        } else if (!served) {
+          evicted_keys_tmp.clear();
+          evicted_slots.clear();
+          pol->set(k, (const uint8_t*)&DeviceAssign::kNoSlot, agg,
+                   &evicted_keys_tmp, &evicted_slots);
+          record_evictions(evicted_keys_tmp);
+          out = buffer_serve(k, t, rows[t]);
+          int32_t slot = take_slot();
+          if (slot >= 0) {
+            Entry* e = pol->find(k);
+            memcpy(e->value, &slot, 4);
+            scat[slot] = out - C;
+          }
         }
       }
       out_slots[b * T + t] = out;
@@ -938,10 +1039,27 @@ static long assign_batch_impl(void* h, const int64_t* idx, long B,
     std::vector<ReadJob> jobs;
     jobs.reserve(buf_keys.size());
     for (size_t m = 0; m < buf_keys.size(); m++) {
+      if (m_filled[m]) continue;   // served from C2/C3 — no IO
       jobs.push_back({buf_keys[m].first, buf_keys[m].second,
                       out_buf + m * (size_t)D});
     }
     eng->pool.run(jobs);
+    if (hybrid) {
+      // designated C2 inserts, from the freshly fetched fp32 rows; C2
+      // evictions and C1 evictions stream into C3 (evlfu_8.cpp:617-620,
+      // :654-658)
+      std::vector<uint8_t> enc(eng->c2->nb());
+      std::vector<uint64_t> ev2;
+      for (auto& ci : c2_inserts) {
+        encode_row(out_buf + (size_t)ci.first * D, enc.data(),
+                   eng->c2->precision(), D);
+        eng->c2->set(ci.second.first, enc.data(), ci.second.second, &ev2);
+      }
+      if (eng->c3) {
+        eng->drain_to_c3(ev2);
+        eng->drain_to_c3(c1_evicted_for_c3);
+      }
+    }
   }
 
   long n_scat = 0;

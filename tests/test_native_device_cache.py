@@ -148,3 +148,98 @@ def test_sharded_device_cache_int8(setup, rng):
     b = shard.request_batch(stream)
     np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
     single.close(); shard.close()
+
+
+def _np_dequant8(x):
+    v = np.round(((x + 1.0) / 2.0) * 254.0).clip(0, 254)
+    return (v / 254.0) * 2.0 - 1.0
+
+
+def test_hybrid_device_c1_host_c2_exact_fp32(setup, rng):
+    """Hybrid stack: device C1 (HBM) + host C2 (DRAM).  With C2 at fp32 every
+    served row is exact, and across small batches C2 takes real hits (misses
+    served from DRAM without storage IO)."""
+    sm, tables = setup
+    cfg = CacheConfig(policy="evlfu", n_caching_layers=2, total_size=24,
+                      main_precision=32, secondary_precision=32,
+                      size_proportion=(48, 48, 4), high_agghit_threshold=4)
+    dc = NativeDeviceC1Cache(cfg, N_TABLES, DIM,
+                             insert_bucket=16).load_tables(tables)
+    assert dc.capacity == 12                       # C1 share of the budget
+    stream = np.stack([rng.integers(0, 8, N_TABLES) for _ in range(800)])
+    outs = [dc.request_batch(stream[i:i + 8]) for i in range(0, 800, 8)]
+    out = np.concatenate(outs)
+    for b in range(800):
+        for t in range(N_TABLES):
+            np.testing.assert_allclose(out[b, t], tables[t][stream[b, t]],
+                                       rtol=1e-6)
+    s = dc.stats()
+    assert s["c2"]["hit_rate"] > 0.1               # C2 is live
+    assert s["c2"]["size"] <= 12                   # bounded by its capacity
+    dc.close()
+
+
+def test_hybrid_c2_secondary_precision_int8(setup, rng):
+    """With C2 at int8, every row is either exact (C1/storage) or the int8
+    round-trip of the exact row (C2-served)."""
+    sm, tables = setup
+    cfg = CacheConfig(policy="evlfu", n_caching_layers=2, total_size=24,
+                      main_precision=32, secondary_precision=8,
+                      size_proportion=(48, 48, 4), high_agghit_threshold=4)
+    dc = NativeDeviceC1Cache(cfg, N_TABLES, DIM,
+                             insert_bucket=16).load_tables(tables)
+    stream = np.stack([rng.integers(0, 8, N_TABLES) for _ in range(600)])
+    outs = [dc.request_batch(stream[i:i + 6]) for i in range(0, 600, 6)]
+    out = np.concatenate(outs)
+    n_c2_served = 0
+    for b in range(600):
+        for t in range(N_TABLES):
+            exact = tables[t][stream[b, t]]
+            q8 = _np_dequant8(exact)
+            d_exact = np.abs(out[b, t] - exact).max()
+            d_q8 = np.abs(out[b, t] - q8).max()
+            assert min(d_exact, d_q8) < 1e-5, (b, t, d_exact, d_q8)
+            if d_q8 < d_exact:
+                n_c2_served += 1
+    assert n_c2_served > 0                         # int8 path actually served
+    assert dc.stats()["c2"]["hit_rate"] > 0.05
+    dc.close()
+
+
+def test_hybrid_c3_altkey_approximate_serving(setup, rng):
+    """C1+C2+C3: a double-missed key whose alt-key row is C1-resident is
+    served the ALT row (approximate embedding) with no storage IO, counted
+    in c3 hits (evlfu_8.cpp find_approximate_ev:474-490)."""
+    sm, tables = setup
+    cfg = CacheConfig(policy="evlfu", n_caching_layers=3, total_size=24,
+                      main_precision=32, secondary_precision=32,
+                      size_proportion=(40, 40, 20), high_agghit_threshold=4,
+                      c3_io_batch=1)
+    dc = NativeDeviceC1Cache(cfg, N_TABLES, DIM,
+                             insert_bucket=16).load_tables(tables)
+    # every row's alt-key points at row 0 of its own table
+    dc.load_altkeys([np.asarray([t + 100 * 0] * 50, np.uint32)
+                     for t in range(N_TABLES)])
+    # churn so keys cycle through C1/C2 and drain into C3 with their altkeys
+    stream = np.stack([rng.integers(0, 20, N_TABLES) for _ in range(600)])
+    for i in range(0, 600, 6):
+        dc.request_batch(stream[i:i + 6])
+    # pin row 0 of every table hot (the alt target), then request keys that
+    # must double-miss; any C3-served position returns row 0's value
+    hot = np.zeros((8, N_TABLES), np.int64)
+    dc.request_batch(hot)
+    s = dc.stats()
+    assert s.get("c3", {}).get("size", 0) > 0      # C3 was populated
+    probe = np.stack([rng.integers(25, 50, N_TABLES) for _ in range(40)])
+    out = dc.request_batch(probe)
+    n_c3 = 0
+    for b in range(40):
+        for t in range(N_TABLES):
+            exact = tables[t][probe[b, t]]
+            alt = tables[t][0]
+            if np.abs(out[b, t] - alt).max() < 1e-6 \
+               and np.abs(exact - alt).max() > 1e-4:
+                n_c3 += 1
+    s2 = dc.stats()
+    assert s2["c3"]["hits"] >= n_c3
+    dc.close()

@@ -53,11 +53,13 @@ class DLRMConfig:
     # matmuls (measured 38x step regression).  Keep False unless profiling
     # a standalone interaction.
     use_pallas_interaction: bool = False
-    # Pallas DMA row-gather for plain-table lookups (ops/pallas_gather.py).
-    # Only engages when rows are 128-lane aligned (D % 128 == 0, e.g. the
-    # MLPerf dim-128 recipe) on a TPU backend; otherwise silently falls back
-    # to the XLA gather.  A/B with scripts/ab_pallas_gather.py before
-    # enabling for a new config — pallas_call is a fusion barrier.
+    # Pallas DMA row-gather for plain-table lookups in INFERENCE paths
+    # (models/embedding.py).  Only engages when rows are 128-lane aligned
+    # (D % 128 == 0, e.g. the MLPerf dim-128 recipe) on a TPU backend;
+    # otherwise silently falls back to the XLA gather.  Measured on v5e at
+    # dim 128 / B 8192 (scripts/ab_pallas_gather.py): eval 1.43x, but the
+    # TRAIN step 0.56x (fusion barrier in fwd+bwd+update) — train_loop
+    # therefore always uses the XLA gather.
     use_pallas_gather: bool = False
     weighted_pooling: Optional[str] = None   # None | "learned" | "fixed"
     loss_threshold: float = 0.0              # clamp predictions (dlrm_s_pytorch.py:1034)

@@ -82,14 +82,13 @@ def make_train_step(cfg: DLRMConfig, tcfg: TrainConfig):
         plain, fact = _split_sparse(params.sparse)
         pool_w = _pool_weights(params.sparse)
         # gather rows for plain tables (the only autodiff entry point into
-        # them — grads attach to the gathered ROWS, so the gather itself is
-        # forward-only and the Pallas DMA version needs no transpose)
-        if getattr(cfg, "use_pallas_gather", False):
-            from evstore_tpu.ops.pallas_gather import gather_rows_auto
-            _take = gather_rows_auto
-        else:
-            _take = lambda tab, col: jnp.take(tab, col, axis=0)
-        plain_rows = {name: _take(tab, idx[:, int(name.split("_")[1])])
+        # them).  Always the XLA gather here: the Pallas DMA gather was
+        # measured 0.56x END-TO-END in the train step (dim 128, B 8192,
+        # v5e — pallas_call is a fusion barrier in the fwd+bwd+update
+        # program; scripts/ab_pallas_gather.py) while winning 1.43x in the
+        # eval-only program, so cfg.use_pallas_gather applies to inference
+        # paths (models/embedding.py) only.
+        plain_rows = {name: jnp.take(tab, idx[:, int(name.split("_")[1])], axis=0)
                       for name, tab in plain.items()}
         w_rows = {name: jnp.take(w, idx[:, int(name.split("_")[1])], axis=0)
                   for name, w in pool_w.items()}

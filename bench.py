@@ -125,6 +125,48 @@ def bench_device_cache(cfg, B=1024, n_steps=40, cache_rows=200_000):
     }
 
 
+def bench_hybrid_tiers(cfg, B=1024, n_steps=30, total_size=200_000):
+    """Full tier stack: device C1 (int8 HBM) + host C2 (int8 DRAM) + C3
+    alt-keys, zipf stream."""
+    import shutil
+    if shutil.which("g++") is None:
+        return None
+    import jax
+    from evstore_tpu.cache.device_cache import NativeDeviceC1Cache
+    from evstore_tpu.config import CacheConfig
+
+    rng = np.random.default_rng(0)
+    sizes = [min(s, 300_000) for s in cfg.table_sizes]
+    tables = [np.asarray(rng.uniform(-1, 1, (s, cfg.embedding_dim)),
+                         np.float32) for s in sizes]
+    ccfg = CacheConfig(policy="evlfu", n_caching_layers=3,
+                       total_size=total_size, main_precision=8,
+                       secondary_precision=8, size_proportion=(48, 48, 4))
+    dc = NativeDeviceC1Cache(ccfg, cfg.num_tables, cfg.embedding_dim,
+                             insert_bucket=4096).load_tables(tables)
+    dc.load_altkeys([np.asarray((np.arange(s) % 100) * 100 + t, np.uint32)
+                     for t, s in enumerate(sizes)])
+    from evstore_tpu.data.synthetic import RandomDataConfig, random_batches
+    dcfg = RandomDataConfig(num_dense=1, table_sizes=sizes, batch_size=B,
+                            num_batches=n_steps, seed=3, distribution="zipf",
+                            zipf_alpha=1.1)
+    n = 0
+    t0 = time.perf_counter()
+    for _, idx, _ in random_batches(dcfg):
+        rows = dc.lookup_batch(idx)
+        n += B
+    import jax as _j
+    _j.block_until_ready(rows)
+    dt = time.perf_counter() - t0
+    s = dc.stats()
+    out = {"examples_per_s": n / dt, "c1_hit_rate": s["hit_rate"],
+           "c2_hit_rate": s.get("c2", {}).get("hit_rate"),
+           "c3_hits": s.get("c3", {}).get("hits"),
+           "hbm_mb": s["hbm_bytes"] / 1e6}
+    dc.close()
+    return out
+
+
 def bench_cached_training(cfg, B=2048, n_steps=15, cache_rows=500_000):
     """HBM-bounded training: full Kaggle-scale tables live in host DRAM;
     HBM holds only the C1 working set."""
@@ -236,6 +278,12 @@ def main():
     log("bench: device C1 cache (int8 HBM rows, zipf)...")
     results["device_cache"] = bench_device_cache(cfg)
     log(f"  {json.dumps(results['device_cache'])}")
+
+    log("bench: hybrid tiers (device C1 + host C2 + C3)...")
+    ht = bench_hybrid_tiers(cfg)
+    if ht:
+        results["hybrid_tiers"] = ht
+        log(f"  {json.dumps(ht)}")
 
     log("bench: native tier engine (C1+C2, 8/4-bit)...")
     ne = bench_native_engine(cfg)

@@ -286,6 +286,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(f"inference done: {m}")
         return 0
 
+    mesh = None
+    if args.use_device_cache and args.mesh_model > 1:
+        # shard the device-cache slots over the mesh (capacity scales with
+        # chips); data axis unused for the host-driven lookup
+        from evstore_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(max(args.mesh_data, 1), args.mesh_model)
     res = run_inference(
         params, cfg, ccfg, make_test(), sm,
         warmup_batches=make_test() if args.enable_warmup else None,
@@ -294,7 +300,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                    if args.trace_inference_workload else None),
         cdf_path=args.write_cdf_file or None,
         use_native=(args.cache_algo == "native"),
-        use_device_cache=args.use_device_cache)
+        use_device_cache=args.use_device_cache,
+        mesh=mesh)
     print(f"inference done: metrics={res.metrics} "
           f"perfect_hits={res.cache_stats.get('perfect_hits')} "
           f"p99={res.latency.get('p99_s')}")

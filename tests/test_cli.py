@@ -83,3 +83,16 @@ def test_cli_train_sharded_mesh(capsys):
                "--learning-rate 0.1 --optimizer rwsadagrad").split())
     assert rc == 0
     assert "training done" in capsys.readouterr().out
+
+
+def test_cli_sharded_device_cache_inference(capsys):
+    """--use-device-cache + --mesh-model shards the HBM cache over the
+    virtual 8-device mesh end-to-end through the CLI."""
+    rc = main(("--inference-only --use-evstore True --use-device-cache True "
+               "--arch-sparse-feature-size 4 --arch-embedding-size 40-30 "
+               "--arch-mlp-bot 4-8-4 --arch-mlp-top 8-1 "
+               "--mini-batch-size 8 --nbatches-test 6 "
+               "--data-generation synthetic --mesh-data 1 --mesh-model 8 "
+               "--cache-algo evlfu --emb-cache-size 64").split())
+    assert rc == 0
+    assert "inference done" in capsys.readouterr().out

@@ -344,6 +344,9 @@ class TrainableDeviceCache:
         s = self.assigner.stats()
         s.update({
             "capacity": self.capacity,
+            "hbm_bytes_per_chip": int(self.capacity // getattr(
+                self, "n_cache_shards", 1)
+                * (self.dim * jnp.dtype(self.cache_dtype).itemsize + 4)),
             "hbm_bytes": int(self.capacity *
                              (self.dim * jnp.dtype(self.cache_dtype).itemsize
                               + 4)),
@@ -353,3 +356,135 @@ class TrainableDeviceCache:
 
     def close(self):
         self.engine.close()
+
+
+class ShardedTrainableDeviceCache(TrainableDeviceCache):
+    """HBM-bounded training with the cache working set SHARDED over a mesh:
+    per-chip HBM = capacity/n_chips rows (+momenta), so trainable cache
+    capacity scales linearly with chips.  2D (data, model) mesh: batch DP
+    over `data`, cache slots over `model`; the forward gathers owned slots
+    per chip and a psum over `model` exchanges the rows (the same pattern as
+    the sharded embedding lookup, parallel/sharded.py); row grads transpose
+    through the psum back onto owned slots automatically, then all-reduce
+    over `data` keeps every data-replica of a shard identical.
+
+    The reference has neither multi-device caching nor cached training; this
+    is the scale-out form of both combined."""
+
+    def __init__(self, cfg: DLRMConfig, tcfg: TrainConfig, ccfg: CacheConfig,
+                 tables: Sequence[np.ndarray], mesh, **kw):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from evstore_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+        self.mesh = mesh
+        self._P = P
+        self.n_cache_shards = mesh.shape[MODEL_AXIS]
+        if ccfg.total_size % self.n_cache_shards:
+            raise ValueError(f"capacity {ccfg.total_size} must divide the "
+                             f"{self.n_cache_shards}-shard model axis")
+        super().__init__(cfg, tcfg, ccfg, tables, **kw)
+        cache_sh = NamedSharding(mesh, P(MODEL_AXIS, None))
+        mom_sh = NamedSharding(mesh, P(MODEL_AXIS))
+        self.cache_values = jax.device_put(self.cache_values, cache_sh)
+        self.cache_mom = jax.device_put(self.cache_mom, mom_sh)
+
+    def _build_step(self):
+        # called from super().__init__ — mesh attrs already set
+        from jax.sharding import PartitionSpec as P
+        from evstore_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+        cfg, tcfg, eps = self.cfg, self.tcfg, self.eps
+        C = self.capacity
+        Cl = C // self.n_cache_shards
+        mesh = self.mesh
+        n_data = mesh.shape[DATA_AXIS]
+        pad = jnp.iinfo(jnp.int32).max
+
+        def local_step(cache, mom_c, dense_params, dstate, gather_idx,
+                       scat_slots, scat_m, buf, buf_mom, dense_x, labels, lr):
+            # cache [Cl, D], mom_c [Cl] local; gather_idx/dense_x/labels are
+            # the data-shard slice; buf/scat replicated
+            me = jax.lax.axis_index(MODEL_AXIS)
+            r0 = me * Cl
+            store_dt = cache.dtype
+            pos = scat_slots - r0
+            pos = jnp.where((pos >= 0) & (pos < Cl), pos, pad)
+            cache = cache.at[pos].set(buf[scat_m].astype(store_dt),
+                                      mode="drop")
+            mom_c = mom_c.at[pos].set(buf_mom[scat_m], mode="drop")
+
+            in_cache = gather_idx < C
+            spos = gather_idx - r0
+            own = in_cache & (spos >= 0) & (spos < Cl)
+            safe_c = jnp.clip(spos, 0, Cl - 1)
+            safe_b = jnp.clip(gather_idx - C, 0, buf.shape[0] - 1)
+            serve_b = (~in_cache) & (me == 0)
+
+            cache_f = cache.astype(jnp.float32)
+
+            def loss_fn(dparams, cache_in, buf_in):
+                rows_c = jnp.where(own[..., None], cache_in[safe_c], 0.0)
+                rows_b = jnp.where(serve_b[..., None], buf_in[safe_b], 0.0)
+                emb = jax.lax.psum(rows_c + rows_b, MODEL_AXIS)
+                logits = dlrm_forward(DLRMParams(dparams, {}), dense_x, None,
+                                      cfg, emb_rows=emb)
+                return dlrm_loss(logits, labels, tcfg.loss_function,
+                                 tcfg.loss_weights)
+
+            loss, (g_dense, g_cache, g_buf) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1, 2))(dense_params, cache_f, buf)
+            loss = jax.lax.pmean(loss, DATA_AXIS)
+            g_dense = jax.lax.pmean(g_dense, DATA_AXIS)
+            # every data-replica of a cache shard applies the identical
+            # update (grads of the local-batch mean -> global mean)
+            g_cache = jax.lax.psum(g_cache, DATA_AXIS) / n_data
+            g_buf = jax.lax.psum(g_buf, DATA_AXIS) / n_data
+
+            mom_inc_c = jnp.mean(g_cache * g_cache, axis=1)
+            touched_c = mom_inc_c > 0
+            mom_c2 = mom_c + mom_inc_c
+            std_c = jnp.sqrt(mom_c2) + eps
+            cache = (cache_f - (lr * g_cache / std_c[:, None])
+                     * touched_c[:, None]).astype(store_dt)
+
+            mom_inc_b = jnp.mean(g_buf * g_buf, axis=1)
+            touched_b = mom_inc_b > 0
+            buf_mom2 = buf_mom + mom_inc_b
+            std_b = jnp.sqrt(buf_mom2) + eps
+            buf = buf - (lr * g_buf / std_b[:, None]) * touched_b[:, None]
+
+            new_dstate = jax.tree_util.tree_map(
+                lambda s, g: s + g.astype(jnp.float32) ** 2, dstate, g_dense)
+            dense_params = jax.tree_util.tree_map(
+                lambda p, g, s: (p - lr * g / (jnp.sqrt(s) + eps)
+                                 ).astype(p.dtype),
+                dense_params, g_dense, new_dstate)
+
+            return (cache, jnp.where(touched_c, mom_c2, mom_c), dense_params,
+                    new_dstate, buf, jnp.where(touched_b, buf_mom2, buf_mom),
+                    loss)
+
+        def make(dense_params, dstate):
+            dspec = jax.tree_util.tree_map(lambda _: P(), dense_params)
+            sspec = jax.tree_util.tree_map(lambda _: P(), dstate)
+            fn = jax.shard_map(
+                local_step, mesh=mesh,
+                in_specs=(P(MODEL_AXIS, None), P(MODEL_AXIS), dspec, sspec,
+                          P(DATA_AXIS, None), P(), P(), P(), P(),
+                          P(DATA_AXIS), P(DATA_AXIS), P()),
+                out_specs=(P(MODEL_AXIS, None), P(MODEL_AXIS), dspec, sspec,
+                           P(), P(), P()),
+                check_vma=False)
+            return jax.jit(fn, donate_argnums=(0, 1))
+
+        cache_fns = {}
+
+        def step(cache, mom_c, dense_params, dstate, gather_idx, scat_slots,
+                 scat_m, buf, buf_mom, dense_x, labels, lr):
+            key = (buf.shape, dense_x.shape)
+            if key not in cache_fns:
+                cache_fns[key] = make(dense_params, dstate)
+            lr_arr = jnp.asarray(lr, jnp.float32)
+            return cache_fns[key](cache, mom_c, dense_params, dstate,
+                                  gather_idx, scat_slots, scat_m, buf,
+                                  buf_mom, dense_x, labels, lr_arr)
+
+        return step

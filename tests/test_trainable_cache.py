@@ -260,3 +260,34 @@ def test_bf16_cache_rows_track_fp32():
     assert np.mean(l16s[-10:]) < np.mean(l16s[:10])
     assert abs(np.mean(l16s[-10:]) - np.mean(l32s[-10:])) < 0.05
     tc32.close(); tc16.close()
+
+
+def test_sharded_trainable_cache_matches_single_chip():
+    """Cache working set sharded over the (2,4) mesh must train EXACTLY like
+    the single-chip trainable cache: same losses, same final tables; per-chip
+    HBM is capacity/4."""
+    import jax.numpy as jnp
+    from evstore_tpu.cache.trainable import ShardedTrainableDeviceCache
+    from evstore_tpu.parallel.mesh import make_mesh
+
+    cfg, tcfg, ccfg, params, tables, dcfg = _setup(capacity=16, n_batches=40)
+    single = TrainableDeviceCache(cfg, tcfg, ccfg, tables)
+    mesh = make_mesh(2, 4)
+    shard = ShardedTrainableDeviceCache(cfg, tcfg, ccfg, tables, mesh)
+    assert shard.stats()["hbm_bytes_per_chip"] * 4 == single.stats()["hbm_bytes"]
+
+    dense_s = dense_m = params.dense
+    st_s = st_m = jax.tree_util.tree_map(
+        lambda p: jnp.zeros_like(p, dtype=jnp.float32), params.dense)
+    for k, (dx, idx, y) in enumerate(learnable_batches(dcfg)):
+        dense_s, st_s, l_s = single.train_batch(dense_s, st_s, k, dx, idx, y)
+        dense_m, st_m, l_m = shard.train_batch(dense_m, st_m, k, dx, idx, y)
+        np.testing.assert_allclose(float(l_m), float(l_s), rtol=1e-5,
+                                   err_msg=f"step {k}")
+    single.flush_to_host()
+    shard.flush_to_host()
+    for t in range(cfg.num_tables):
+        np.testing.assert_allclose(shard.host_tables[t],
+                                   single.host_tables[t],
+                                   rtol=1e-4, atol=1e-6)
+    single.close(); shard.close()

@@ -49,8 +49,9 @@ def gen_tables(workdir: str, n_tables: int, rows: int, dim: int,
             done = 0
             while done < rows:
                 n = min(chunk_rows, rows - done)
-                f.write(rng.uniform(-0.9, 0.9, (n, dim))
-                        .astype(np.float32).tobytes())
+                # float32 generation end-to-end (float64 uniform is ~6x slower)
+                f.write((rng.random((n, dim), dtype=np.float32) * 1.8 - 0.9)
+                        .tobytes())
                 done += n
         total += rows * dim * 4
     return total / 1e9

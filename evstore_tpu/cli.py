@@ -228,13 +228,27 @@ def main(argv: Optional[List[str]] = None) -> int:
     make_train, make_test = _make_data(args, cfg)
 
     if not args.inference_only:
-        from evstore_tpu.drivers.train import run_training
         mesh = None
         n_dev = len(jax.devices())
         n_data = args.mesh_data or (n_dev // max(args.mesh_model, 1))
         if n_data * args.mesh_model > 1:
             from evstore_tpu.parallel.mesh import make_mesh
             mesh = make_mesh(n_data, args.mesh_model)
+        if args.use_evstore:
+            # HBM-bounded training through the cache tier (the reference
+            # FORBIDS training with EVStore, dlrm_s_pytorch_C1.py:1321-1323
+            # — here it is a first-class mode)
+            from evstore_tpu.drivers.train import run_cached_training
+            res = run_cached_training(
+                cfg, tcfg, ccfg, make_train,
+                ev_table_dir=(args.ev_table_path or None),
+                table_sizes=list(cfg.table_sizes),
+                save_dir=args.save_model or None,
+                mesh=(mesh if args.mesh_model > 1 else None),
+                seed=args.numpy_rand_seed)
+            print(f"training done: steps={res.steps} best=nan (cached)")
+            return 0
+        from evstore_tpu.drivers.train import run_training
         res = run_training(
             cfg, tcfg, make_train, make_test,
             ckpt_dir=args.save_model or None,

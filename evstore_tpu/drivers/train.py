@@ -151,3 +151,80 @@ def run_training(cfg: DLRMConfig, tcfg: TrainConfig,
     mll.event("run_stop", {"status": "done"})
     return TrainResult(params=params, best_metric=best, steps=step,
                        history=history)
+
+
+def run_cached_training(cfg: DLRMConfig, tcfg: TrainConfig, ccfg,
+                        make_train_batches: Callable[[], Iterable],
+                        tables=None, ev_table_dir: Optional[str] = None,
+                        table_sizes=None,
+                        save_dir: Optional[str] = None,
+                        mesh=None,
+                        seed: int = 0,
+                        log_fn=print) -> TrainResult:
+    """HBM-bounded training through the device cache tier (beyond the
+    reference, which forbids training with EVStore —
+    dlrm_s_pytorch_C1.py:1321-1323).  Embedding masters live in host DRAM
+    (`tables`) or on SSD (`ev_table_dir` + `table_sizes`, the terabyte
+    configuration); HBM holds only the cache working set.  With `mesh` the
+    working set shards over the model axis (ShardedTrainableDeviceCache)."""
+    import jax.numpy as jnp
+    from evstore_tpu.cache.trainable import (ShardedTrainableDeviceCache,
+                                             TrainableDeviceCache)
+
+    import os
+    params = init_dlrm(jax.random.PRNGKey(seed), cfg)
+    if ev_table_dir and not os.path.exists(
+            os.path.join(ev_table_dir, "ev-table-1.bin")):
+        ev_table_dir = None   # no .bin masters there: in-DRAM mode
+    if ev_table_dir:
+        if mesh is not None:
+            raise ValueError("file-backed + sharded cache: construct "
+                             "ShardedTrainableDeviceCache via from_files "
+                             "composition not wired yet")
+        tc = TrainableDeviceCache.from_files(cfg, tcfg, ccfg, ev_table_dir,
+                                             table_sizes)
+    else:
+        if tables is None:
+            tables = [np.asarray(params.sparse[f"table_{t}"]["kind_plain"])
+                      for t in range(cfg.num_tables)]
+        if mesh is not None:
+            tc = ShardedTrainableDeviceCache(cfg, tcfg, ccfg, tables, mesh)
+        else:
+            tc = TrainableDeviceCache(cfg, tcfg, ccfg, tables)
+    dense = params.dense
+    dstate = jax.tree_util.tree_map(
+        lambda p: jnp.zeros_like(p, dtype=jnp.float32), params.dense)
+    history = {"loss": []}
+    step = 0
+    t0 = time.perf_counter()
+    n_since = 0
+    last_loss = float("nan")
+    for epoch in range(tcfg.nepochs):
+        for dense_x, idx, y in make_train_batches():
+            step += 1
+            dense, dstate, loss = tc.train_batch(dense, dstate, step,
+                                                 dense_x, idx, y)
+            n_since += 1
+            if step % max(tcfg.print_freq, 1) == 0:
+                jax.block_until_ready(loss)
+                last_loss = float(loss)
+                dt = time.perf_counter() - t0
+                history["loss"].append((step, last_loss))
+                s = tc.stats()
+                log_fn(f"step {step}: loss {last_loss:.6f} "
+                       f"({n_since * np.asarray(dense_x).shape[0] / max(dt, 1e-9):.0f} "
+                       f"examples/s, hit rate {s['hit_rate']:.3f}, "
+                       f"cache hbm {s['hbm_bytes'] / 1e6:.1f} MB)")
+                t0, n_since = time.perf_counter(), 0
+    if ev_table_dir:
+        tc.flush_files()
+    elif save_dir:
+        tc.save(save_dir)
+    else:
+        tc.flush_to_host()
+    stats = tc.stats()
+    tc.close()
+    log_fn(f"cached training done: steps={step} cache={stats}")
+    return TrainResult(params=DLRMParams(dense, params.sparse),
+                       best_metric=float("nan"), steps=step,
+                       history=history)

@@ -96,3 +96,28 @@ def test_cli_sharded_device_cache_inference(capsys):
                "--cache-algo evlfu --emb-cache-size 64").split())
     assert rc == 0
     assert "inference done" in capsys.readouterr().out
+
+
+def test_cli_cached_training_end_to_end(capsys):
+    """--use-evstore during TRAINING routes through the HBM-bounded cached
+    trainer (the reference forbids this combination)."""
+    rc = main(("--use-evstore True "
+               "--arch-sparse-feature-size 4 --arch-embedding-size 40-30 "
+               "--arch-mlp-bot 4-8-4 --arch-mlp-top 8-1 "
+               "--mini-batch-size 16 --num-batches 10 --print-freq 5 "
+               "--emb-cache-size 30 "
+               "--learning-rate 0.1 --optimizer rwsadagrad").split())
+    assert rc == 0
+    assert "training done" in capsys.readouterr().out
+
+
+def test_cli_cached_training_sharded(capsys):
+    """Cached training with the working set sharded over the virtual mesh."""
+    rc = main(("--use-evstore True "
+               "--arch-sparse-feature-size 4 --arch-embedding-size 40-30 "
+               "--arch-mlp-bot 4-8-4 --arch-mlp-top 8-1 "
+               "--mini-batch-size 16 --num-batches 8 --print-freq 4 "
+               "--emb-cache-size 32 --mesh-data 2 --mesh-model 4 "
+               "--learning-rate 0.1 --optimizer rwsadagrad").split())
+    assert rc == 0
+    assert "training done" in capsys.readouterr().out

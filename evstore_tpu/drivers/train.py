@@ -178,11 +178,11 @@ def run_cached_training(cfg: DLRMConfig, tcfg: TrainConfig, ccfg,
         ev_table_dir = None   # no .bin masters there: in-DRAM mode
     if ev_table_dir:
         if mesh is not None:
-            raise ValueError("file-backed + sharded cache: construct "
-                             "ShardedTrainableDeviceCache via from_files "
-                             "composition not wired yet")
-        tc = TrainableDeviceCache.from_files(cfg, tcfg, ccfg, ev_table_dir,
-                                             table_sizes)
+            tc = ShardedTrainableDeviceCache.from_files(
+                cfg, tcfg, ccfg, ev_table_dir, table_sizes, mesh=mesh)
+        else:
+            tc = TrainableDeviceCache.from_files(cfg, tcfg, ccfg,
+                                                 ev_table_dir, table_sizes)
     else:
         if tables is None:
             tables = [np.asarray(params.sparse[f"table_{t}"]["kind_plain"])

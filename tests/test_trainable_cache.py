@@ -291,3 +291,32 @@ def test_sharded_trainable_cache_matches_single_chip():
                                    single.host_tables[t],
                                    rtol=1e-4, atol=1e-6)
     single.close(); shard.close()
+
+
+def test_sharded_file_backed_composition(tmp_path):
+    """ShardedTrainableDeviceCache.from_files: cache sharded over the mesh
+    AND master tables on disk — bounded HBM per chip + bounded DRAM at once;
+    trains identically to the single-chip in-RAM cache."""
+    import jax.numpy as jnp
+    from evstore_tpu.cache.storage import write_ev_tables_binary
+    from evstore_tpu.cache.trainable import ShardedTrainableDeviceCache
+    from evstore_tpu.parallel.mesh import make_mesh
+
+    cfg, tcfg, ccfg, params, tables, dcfg = _setup(capacity=16, n_batches=30)
+    write_ev_tables_binary(tables, str(tmp_path), 32)
+    ram = TrainableDeviceCache(cfg, tcfg, ccfg, tables)
+    fb = ShardedTrainableDeviceCache.from_files(
+        cfg, tcfg, ccfg, str(tmp_path), [t.shape[0] for t in tables],
+        mesh=make_mesh(2, 4))
+    dense_r = dense_f = params.dense
+    st_r = st_f = jax.tree_util.tree_map(
+        lambda p: jnp.zeros_like(p, dtype=jnp.float32), params.dense)
+    for k, (dx, idx, y) in enumerate(learnable_batches(dcfg)):
+        dense_r, st_r, l_r = ram.train_batch(dense_r, st_r, k, dx, idx, y)
+        dense_f, st_f, l_f = fb.train_batch(dense_f, st_f, k, dx, idx, y)
+        np.testing.assert_allclose(float(l_f), float(l_r), rtol=1e-5)
+    ram.flush_to_host(); fb.flush_files()
+    for t in range(cfg.num_tables):
+        np.testing.assert_allclose(fb.host_tables[t], ram.host_tables[t],
+                                   rtol=1e-4, atol=1e-6)
+    ram.close(); fb.close()

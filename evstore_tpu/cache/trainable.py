@@ -217,9 +217,16 @@ class TrainableDeviceCache:
     def _writeback_evicted(self, ev_keys, ev_slots):
         if len(ev_keys) == 0:
             return
-        rows = np.asarray(self.cache_values[jnp.asarray(ev_slots)]
-                          .astype(jnp.float32))
-        moms = np.asarray(self.cache_mom[jnp.asarray(ev_slots)])
+        # pad the snapshot gather to power-of-two sizes: eviction counts vary
+        # per batch and each distinct length would re-trace the device gather
+        n = len(ev_slots)
+        n_pad = 1 << (n - 1).bit_length()
+        slots_p = np.empty(n_pad, np.int32)
+        slots_p[:n] = ev_slots
+        slots_p[n:] = slots_p[0]
+        rows = np.asarray(self.cache_values[jnp.asarray(slots_p)]
+                          .astype(jnp.float32))[:n]
+        moms = np.asarray(self.cache_mom[jnp.asarray(slots_p)])[:n]
         ts = np.asarray([k[0] for k in ev_keys])
         rs = np.asarray([k[1] for k in ev_keys])
         for t in np.unique(ts):

@@ -63,12 +63,22 @@ def unstack_tables(stack: jnp.ndarray, params: DLRMParams) -> DLRMParams:
 
 
 def make_butterfly_train_step(cfg: DLRMConfig, tcfg: TrainConfig, mesh: Mesh,
-                              global_batch: int):
+                              global_batch: int, dedup_exchange: bool = False):
     """Returns build(params) -> jitted step over
     (dense_params, stack, opt_dense, row_state[T_pad, N_max... no:
     rwsadagrad row state is [T_pad, N_max]], step, dense_x, idx, labels).
 
     Simplified state layout: (dense, stack, opt) explicit tuple.
+
+    dedup_exchange=True ships, per (local table, destination shard), only the
+    U = min(Bl, N_max) UNIQUE rows of that destination's batch slice through
+    the all_to_all instead of the full [B, Tl, D] block — cutting exchange
+    bytes by Bl/U (large for small/skewed Criteo tables).  Both sides run
+    the same deterministic jnp.unique, so only rows travel: the destination
+    reconstructs per-sample rows from its locally recomputed inverse map.
+    The backward all_to_all then carries per-unique-row grads (already
+    coalesced within each destination slice) — the sparse-update gather
+    shrinks by the same factor.  (SURVEY §7 hard part v, butterfly form.)
     """
     opt_init, dense_update, sparse_update = make_optimizer(tcfg.optimizer)
     lr_fn = lr_schedule(tcfg.learning_rate, tcfg.lr_num_warmup_steps,
@@ -77,6 +87,79 @@ def make_butterfly_train_step(cfg: DLRMConfig, tcfg: TrainConfig, mesh: Mesh,
     T = cfg.num_tables
     B = global_batch
     Bl = B // n_dev
+
+    def local_step_dedup(dense_params, stack_local, dstate, row_state_local,
+                         step, dense_x, idx_full, labels):
+        # stack_local: [Tl, N_max, D]; idx_full: [B, T] replicated
+        Tl, n_max, D = stack_local.shape
+        shard = jax.lax.axis_index(AXIS)
+        U = min(Bl, n_max)
+
+        # --- source side: per (local table, dest shard) unique rows ---
+        uniq_src = []                       # [Tl][n_dev] each [U] global ids
+        parts = []
+        for tl in range(Tl):
+            gt = shard * Tl + tl
+            col = jnp.take(idx_full, jnp.minimum(gt, T - 1), axis=1)
+            col2 = col.reshape(n_dev, Bl)   # dest-major batch slices
+            per_dest_rows, per_dest_ids = [], []
+            for d in range(n_dev):
+                uniq = jnp.unique(col2[d], size=U, fill_value=PAD_ROW)
+                rows = jnp.take(stack_local[tl],
+                                jnp.clip(uniq, 0, n_max - 1), axis=0)
+                rows = jnp.where((uniq != PAD_ROW)[:, None], rows, 0.0)
+                per_dest_rows.append(rows)
+                per_dest_ids.append(uniq)
+            parts.append(jnp.stack(per_dest_rows, 0))      # [n_dev, U, D]
+            uniq_src.append(per_dest_ids)
+        ly_u = jnp.stack(parts, 1)          # [n_dev(dest), Tl, U, D]
+
+        # --- dest side: inverse maps over OUR batch slice (same unique) ---
+        inv_rows = []
+        for t in range(T):
+            col_l = jnp.take(idx_full[:, t].reshape(n_dev, Bl), shard, axis=0)
+            _, inv = jnp.unique(col_l, return_inverse=True, size=U,
+                                fill_value=PAD_ROW)
+            inv_rows.append(inv.reshape(-1))
+        inv_mat = jnp.stack(inv_rows, 0)    # [T, Bl]
+
+        def loss_fn(dparams, ly_in):
+            recv = jax.lax.all_to_all(ly_in, AXIS, split_axis=0,
+                                      concat_axis=0, tiled=True)
+            recv = recv.reshape(n_dev * Tl, U, D)[:T]      # [T, U, D]
+            ly = jax.vmap(lambda r, i: jnp.take(r, i, axis=0))(recv, inv_mat)
+            ly = jnp.moveaxis(ly, 0, 1)                    # [Bl, T, D]
+            logits = dlrm_forward(DLRMParams(dparams, {}), dense_x, None,
+                                  cfg, emb_rows=ly)
+            return dlrm_loss(logits, labels, tcfg.loss_function,
+                             tcfg.loss_weights)
+
+        loss, (g_dense, g_u) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            dense_params, ly_u)
+        loss = jax.lax.pmean(loss, AXIS)
+        g_dense = jax.lax.pmean(g_dense, AXIS)
+
+        lr = lr_fn(step)
+        new_dstate, new_dense = dense_update(dstate if dstate else {},
+                                             dense_params, g_dense, lr)
+
+        # sparse updates: g_u [n_dev, Tl, U, D] is already coalesced per
+        # unique row within each dest slice; coalesce across slices and
+        # scatter-apply.  Scale local-mean -> global-mean loss.
+        g_u = g_u / n_dev
+        new_stack = stack_local
+        new_row_state = row_state_local
+        for tl in range(Tl):
+            ids = jnp.concatenate(uniq_src[tl])            # [n_dev*U]
+            g = g_u[:, tl].reshape(n_dev * U, D)
+            uniq, summed, valid = dedup_rows(ids, g, min(n_dev * U, B))
+            st = (new_row_state[tl] if new_row_state is not None else None)
+            new_st, new_tab = sparse_update(st, new_stack[tl], uniq, summed,
+                                            valid, lr)
+            new_stack = new_stack.at[tl].set(new_tab)
+            if new_st is not None:
+                new_row_state = new_row_state.at[tl].set(new_st)
+        return new_dense, new_stack, new_dstate, new_row_state, loss
 
     def local_step(dense_params, stack_local, dstate, row_state_local, step,
                    dense_x, idx_full, labels):
@@ -140,7 +223,8 @@ def make_butterfly_train_step(cfg: DLRMConfig, tcfg: TrainConfig, mesh: Mesh,
         in_specs = (dense_spec, stack_spec, dstate_spec, row_spec, P(),
                     P(AXIS), P(), P(AXIS))
         out_specs = (dense_spec, stack_spec, dstate_spec, row_spec, P())
-        fn = jax.shard_map(local_step, mesh=mesh, in_specs=in_specs,
+        body = local_step_dedup if dedup_exchange else local_step
+        fn = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
                            out_specs=out_specs, check_vma=False)
         return jax.jit(fn, donate_argnums=(1, 3))
 

@@ -47,7 +47,8 @@ def test_stack_unstack_roundtrip():
 
 
 @pytest.mark.parametrize("opt", ["sgd", "rwsadagrad"])
-def test_butterfly_matches_single_device(opt):
+@pytest.mark.parametrize("dedup", [False, True])
+def test_butterfly_matches_single_device(opt, dedup):
     cfg = _cfg()
     tcfg = TrainConfig(batch_size=16, learning_rate=0.1, optimizer=opt)
     params = init_dlrm(jax.random.PRNGKey(0), cfg)
@@ -59,7 +60,8 @@ def test_butterfly_matches_single_device(opt):
 
     mesh = _mesh(8)
     d0, stack, dstate, row_state = init_butterfly_state(params, tcfg, mesh)
-    step = make_butterfly_train_step(cfg, tcfg, mesh, 16)(
+    step = make_butterfly_train_step(cfg, tcfg, mesh, 16,
+                                     dedup_exchange=dedup)(
         d0, stack, dstate, row_state)
     d1, stack1, _, _, lossN = step(d0, stack, dstate, row_state,
                                    jnp.zeros((), jnp.int32), dense, idx,
@@ -74,6 +76,36 @@ def test_butterfly_matches_single_device(opt):
     np.testing.assert_allclose(
         np.asarray(d1["bot"]["layer_0"]["w"]),
         np.asarray(p1.dense["bot"]["layer_0"]["w"]), rtol=1e-4, atol=1e-6)
+
+
+def test_butterfly_dedup_equals_full_exchange():
+    """Dedup exchange must be bit-equivalent in what it computes: same loss
+    and same updated tables as the full [B, Tl, D] exchange."""
+    cfg = _cfg()
+    tcfg = TrainConfig(batch_size=32, learning_rate=0.1,
+                       optimizer="rwsadagrad")
+    params = init_dlrm(jax.random.PRNGKey(2), cfg)
+    # duplicate-heavy batch so dedup actually coalesces
+    rng = np.random.default_rng(3)
+    dense = jnp.asarray(rng.random((32, cfg.num_dense_features)), jnp.float32)
+    idx = jnp.asarray(
+        np.stack([rng.integers(0, min(s, 5), 32) for s in cfg.table_sizes],
+                 axis=1), jnp.int32)
+    labels = jnp.asarray(rng.integers(0, 2, 32), jnp.float32)
+    mesh = _mesh(8)
+    outs = {}
+    for dedup in (False, True):
+        d0, stack, dstate, row_state = init_butterfly_state(params, tcfg, mesh)
+        step = make_butterfly_train_step(cfg, tcfg, mesh, 32,
+                                         dedup_exchange=dedup)(
+            d0, stack, dstate, row_state)
+        outs[dedup] = step(d0, stack, dstate, row_state,
+                           jnp.zeros((), jnp.int32), dense, idx, labels)
+    np.testing.assert_allclose(float(outs[True][4]), float(outs[False][4]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(outs[True][1]),
+                               np.asarray(outs[False][1]),
+                               rtol=1e-6, atol=1e-7)
 
 
 def test_butterfly_multiple_steps_converge():

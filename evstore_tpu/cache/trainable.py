@@ -44,6 +44,29 @@ from evstore_tpu.models.dlrm import DLRMParams, dlrm_forward, dlrm_loss
 from evstore_tpu.train.optim import lr_schedule
 
 
+# --- int8 row codec (training tier) -------------------------------------
+# The reference's 8-bit inference codec: enc round(((x+1)/2)*254), dec
+# (v/254)*2-1 (script/reduce_precision.py:270,283; evlfu_8.cpp:375).  For
+# TRAINING through the tier the store must not lose the tiny per-step
+# updates to round-to-nearest bias, so re-encodes of updated rows use
+# STOCHASTIC rounding (unbiased: E[dec(enc_sr(x))] = clip(x)); untouched
+# rows keep their exact bytes.  Momenta stay fp32 alongside.
+
+def _q8_decode(v: jnp.ndarray) -> jnp.ndarray:
+    return (v.astype(jnp.float32) / 254.0) * 2.0 - 1.0
+
+
+def _q8_encode_det(x: jnp.ndarray) -> jnp.ndarray:
+    y = (jnp.clip(x, -1.0, 1.0) + 1.0) * 0.5 * 254.0
+    return jnp.round(y).astype(jnp.uint8)
+
+
+def _q8_encode_sr(x: jnp.ndarray, key) -> jnp.ndarray:
+    y = (jnp.clip(x, -1.0, 1.0) + 1.0) * 0.5 * 254.0
+    u = jax.random.uniform(key, x.shape, jnp.float32)
+    return jnp.clip(jnp.floor(y + u), 0, 254).astype(jnp.uint8)
+
+
 class TrainableDeviceCache:
     """HBM-bounded embedding training state + the jitted cached train step."""
 
@@ -53,9 +76,9 @@ class TrainableDeviceCache:
         if tcfg.optimizer != "rwsadagrad":
             raise ValueError("cached training supports rwsadagrad (the "
                              "reference's sparse optimizer)")
-        if ccfg.main_precision not in (32, 16):
-            raise ValueError("trainable cache rows are fp32 or bf16 "
-                             "(main_precision 32/16); the int4/8 codecs are "
+        if ccfg.main_precision not in (32, 16, 8):
+            raise ValueError("trainable cache rows are fp32, bf16 or int8 "
+                             "(main_precision 32/16/8); the int4 codec is "
                              "inference-tier only")
         from evstore_tpu.native import NativeAssigner, NativeTieredCache
         self.cfg = cfg
@@ -67,11 +90,12 @@ class TrainableDeviceCache:
         self.eps = eps
         # bf16 cached rows halve the cache HBM (TPU-native 16-bit: bf16
         # matches the MXU input format, unlike the reference's custom ushort
-        # codec, evlfu_16.cpp:332-347 — a CPU-decode format).  Updates
-        # compute in fp32 and round to bf16 on the store; momenta stay fp32.
-        # Master (DRAM) copies stay fp32 — write-backs upcast.
-        self.cache_dtype = (jnp.float32 if ccfg.main_precision == 32
-                            else jnp.bfloat16)
+        # codec, evlfu_16.cpp:332-347 — a CPU-decode format).  int8 rows
+        # quarter it using the reference's codec with stochastic-rounding
+        # stores (see _q8_* above).  Updates compute in fp32; momenta stay
+        # fp32.  Master (DRAM) copies stay fp32 — write-backs upcast/decode.
+        self.cache_dtype = {32: jnp.float32, 16: jnp.bfloat16,
+                            8: jnp.uint8}[ccfg.main_precision]
         # Master copies: host DRAM (owned, writable — np.asarray of a jax
         # array yields a read-only view) or, with copy_tables=False, the
         # caller's writable buffers IN PLACE — typically np.memmap over the
@@ -150,7 +174,7 @@ class TrainableDeviceCache:
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def step(cache, mom_c, dense_params, dstate, gather_idx, scat_slots,
-                 scat_m, buf, buf_mom, dense_x, labels, lr):
+                 scat_m, buf, buf_mom, dense_x, labels, lr, seed):
             """gather_idx [B, T] indexes concat-space [cache | buf]: the
             assigner's final residency target per position, so the forward
             read and the gradient write hit the SAME cell — the cache slot
@@ -159,9 +183,11 @@ class TrainableDeviceCache:
             and the dying pre-apply slot for mid-batch-evicted keys (their
             update is intentionally dropped with the cell)."""
             # scatter miss rows (+ their momenta) into their cache slots
-            store_dt = cache.dtype    # fp32 or bf16 (halved cache HBM)
-            cache = cache.at[scat_slots].set(buf[scat_m].astype(store_dt),
-                                             mode="drop")
+            store_dt = cache.dtype    # fp32 / bf16 / uint8 cache HBM
+            q8 = store_dt == jnp.uint8
+            ins = (_q8_encode_det(buf[scat_m]) if q8
+                   else buf[scat_m].astype(store_dt))
+            cache = cache.at[scat_slots].set(ins, mode="drop")
             mom_c = mom_c.at[scat_slots].set(buf_mom[scat_m], mode="drop")
 
             in_cache = gather_idx < C
@@ -169,8 +195,9 @@ class TrainableDeviceCache:
             safe_b = jnp.where(in_cache, 0, gather_idx - C)
 
             # grads/updates in fp32 regardless of the storage dtype; the
-            # round-trip is exact for untouched rows (bf16->f32->bf16)
-            cache_f = cache.astype(jnp.float32)
+            # round-trip is exact for untouched rows (bf16->f32->bf16;
+            # int8 rows only re-encode when touched, keeping exact bytes)
+            cache_f = _q8_decode(cache) if q8 else cache.astype(jnp.float32)
 
             def loss_fn(dparams, cache_in, buf_in):
                 emb = jnp.where(in_cache[..., None],
@@ -189,8 +216,13 @@ class TrainableDeviceCache:
             touched_c = mom_inc_c > 0
             mom_c2 = mom_c + mom_inc_c
             std_c = jnp.sqrt(mom_c2) + eps
-            cache = (cache_f - (lr * g_cache / std_c[:, None])
-                     * touched_c[:, None]).astype(store_dt)
+            upd_f = (cache_f - (lr * g_cache / std_c[:, None])
+                     * touched_c[:, None])
+            if q8:
+                enc = _q8_encode_sr(upd_f, jax.random.PRNGKey(seed))
+                cache = jnp.where(touched_c[:, None], enc, cache)
+            else:
+                cache = upd_f.astype(store_dt)
 
             mom_inc_b = jnp.mean(g_buf * g_buf, axis=1)
             touched_b = mom_inc_b > 0
@@ -224,8 +256,10 @@ class TrainableDeviceCache:
         slots_p = np.empty(n_pad, np.int32)
         slots_p[:n] = ev_slots
         slots_p[n:] = slots_p[0]
-        rows = np.asarray(self.cache_values[jnp.asarray(slots_p)]
-                          .astype(jnp.float32))[:n]
+        vals = self.cache_values[jnp.asarray(slots_p)]
+        vals = (_q8_decode(vals) if vals.dtype == jnp.uint8
+                else vals.astype(jnp.float32))
+        rows = np.asarray(vals)[:n]
         moms = np.asarray(self.cache_mom[jnp.asarray(slots_p)])[:n]
         ts = np.asarray([k[0] for k in ev_keys])
         rs = np.asarray([k[1] for k in ev_keys])
@@ -277,7 +311,7 @@ class TrainableDeviceCache:
             self.cache_values, self.cache_mom, dense_params, dstate,
             jnp.asarray(gather_idx), jnp.asarray(ss), jnp.asarray(sm),
             jnp.asarray(buf_p), jnp.asarray(buf_mom), jnp.asarray(dense_x),
-            jnp.asarray(labels), lr)
+            jnp.asarray(labels), lr, jnp.asarray(step_idx, jnp.int32))
         # 4a. second eviction write-back: dying cells may have received this
         # batch's updates (positions whose key was evicted mid-batch); their
         # cells were excluded from the scatter, so this captures old+update
@@ -406,16 +440,19 @@ class ShardedTrainableDeviceCache(TrainableDeviceCache):
         pad = jnp.iinfo(jnp.int32).max
 
         def local_step(cache, mom_c, dense_params, dstate, gather_idx,
-                       scat_slots, scat_m, buf, buf_mom, dense_x, labels, lr):
+                       scat_slots, scat_m, buf, buf_mom, dense_x, labels, lr,
+                       seed):
             # cache [Cl, D], mom_c [Cl] local; gather_idx/dense_x/labels are
             # the data-shard slice; buf/scat replicated
             me = jax.lax.axis_index(MODEL_AXIS)
             r0 = me * Cl
             store_dt = cache.dtype
+            q8 = store_dt == jnp.uint8
             pos = scat_slots - r0
             pos = jnp.where((pos >= 0) & (pos < Cl), pos, pad)
-            cache = cache.at[pos].set(buf[scat_m].astype(store_dt),
-                                      mode="drop")
+            ins = (_q8_encode_det(buf[scat_m]) if q8
+                   else buf[scat_m].astype(store_dt))
+            cache = cache.at[pos].set(ins, mode="drop")
             mom_c = mom_c.at[pos].set(buf_mom[scat_m], mode="drop")
 
             in_cache = gather_idx < C
@@ -425,7 +462,7 @@ class ShardedTrainableDeviceCache(TrainableDeviceCache):
             safe_b = jnp.clip(gather_idx - C, 0, buf.shape[0] - 1)
             serve_b = (~in_cache) & (me == 0)
 
-            cache_f = cache.astype(jnp.float32)
+            cache_f = _q8_decode(cache) if q8 else cache.astype(jnp.float32)
 
             def loss_fn(dparams, cache_in, buf_in):
                 rows_c = jnp.where(own[..., None], cache_in[safe_c], 0.0)
@@ -449,8 +486,17 @@ class ShardedTrainableDeviceCache(TrainableDeviceCache):
             touched_c = mom_inc_c > 0
             mom_c2 = mom_c + mom_inc_c
             std_c = jnp.sqrt(mom_c2) + eps
-            cache = (cache_f - (lr * g_cache / std_c[:, None])
-                     * touched_c[:, None]).astype(store_dt)
+            upd_f = (cache_f - (lr * g_cache / std_c[:, None])
+                     * touched_c[:, None])
+            if q8:
+                # fold in the model-shard index (distinct noise per shard)
+                # but NOT the data index: every data-replica of a shard must
+                # store identical bytes
+                kk = jax.random.fold_in(jax.random.PRNGKey(seed), me)
+                cache = jnp.where(touched_c[:, None],
+                                  _q8_encode_sr(upd_f, kk), cache)
+            else:
+                cache = upd_f.astype(store_dt)
 
             mom_inc_b = jnp.mean(g_buf * g_buf, axis=1)
             touched_b = mom_inc_b > 0
@@ -476,7 +522,7 @@ class ShardedTrainableDeviceCache(TrainableDeviceCache):
                 local_step, mesh=mesh,
                 in_specs=(P(MODEL_AXIS, None), P(MODEL_AXIS), dspec, sspec,
                           P(DATA_AXIS, None), P(), P(), P(), P(),
-                          P(DATA_AXIS), P(DATA_AXIS), P()),
+                          P(DATA_AXIS), P(DATA_AXIS), P(), P()),
                 out_specs=(P(MODEL_AXIS, None), P(MODEL_AXIS), dspec, sspec,
                            P(), P(), P()),
                 check_vma=False)
@@ -485,13 +531,13 @@ class ShardedTrainableDeviceCache(TrainableDeviceCache):
         cache_fns = {}
 
         def step(cache, mom_c, dense_params, dstate, gather_idx, scat_slots,
-                 scat_m, buf, buf_mom, dense_x, labels, lr):
+                 scat_m, buf, buf_mom, dense_x, labels, lr, seed):
             key = (buf.shape, dense_x.shape)
             if key not in cache_fns:
                 cache_fns[key] = make(dense_params, dstate)
             lr_arr = jnp.asarray(lr, jnp.float32)
             return cache_fns[key](cache, mom_c, dense_params, dstate,
                                   gather_idx, scat_slots, scat_m, buf,
-                                  buf_mom, dense_x, labels, lr_arr)
+                                  buf_mom, dense_x, labels, lr_arr, seed)
 
         return step

@@ -262,6 +262,48 @@ def test_bf16_cache_rows_track_fp32():
     tc32.close(); tc16.close()
 
 
+def test_q8_codec_stochastic_rounding_unbiased():
+    """enc_sr is unbiased: averaging dec(enc_sr(x)) over many keys recovers
+    x to within the Monte-Carlo error, unlike round-to-nearest whose bias is
+    up to half a quantization step."""
+    from evstore_tpu.cache.trainable import (_q8_decode, _q8_encode_det,
+                                             _q8_encode_sr)
+    x = jnp.asarray(np.linspace(-0.99, 0.99, 64, dtype=np.float32)
+                    .reshape(8, 8))
+    acc = np.zeros_like(np.asarray(x))
+    n = 400
+    for s in range(n):
+        acc += np.asarray(_q8_decode(_q8_encode_sr(x, jax.random.PRNGKey(s))))
+    np.testing.assert_allclose(acc / n, np.asarray(x), atol=2e-3)
+    # det roundtrip error bounded by half a step (2/254/2)
+    err = np.abs(np.asarray(_q8_decode(_q8_encode_det(x))) - np.asarray(x))
+    assert err.max() <= (2.0 / 254.0) / 2 + 1e-6
+
+
+def test_int8_cache_rows_still_learn():
+    """main_precision=8 stores cached rows via the reference's int8 codec
+    (quarter cache HBM) with stochastic-rounding stores; training must still
+    learn and stay near the fp32 trajectory."""
+    cfg, tcfg, ccfg, params, tables, dcfg = _setup(capacity=64, n_batches=60)
+    c8 = CacheConfig(policy="evlfu", total_size=64, main_precision=8)
+    tc32 = TrainableDeviceCache(cfg, tcfg, ccfg, tables)
+    tc8 = TrainableDeviceCache(cfg, tcfg, c8, tables)
+    assert tc8.cache_values.dtype == jnp.uint8
+    assert tc8.stats()["hbm_bytes"] < tc32.stats()["hbm_bytes"]
+
+    dense32 = dense8 = params.dense
+    d32 = d8 = jax.tree_util.tree_map(
+        lambda p: jnp.zeros_like(p, dtype=jnp.float32), params.dense)
+    l32s, l8s = [], []
+    for k, (dx, idx, y) in enumerate(learnable_batches(dcfg)):
+        dense32, d32, l32 = tc32.train_batch(dense32, d32, k, dx, idx, y)
+        dense8, d8, l8 = tc8.train_batch(dense8, d8, k, dx, idx, y)
+        l32s.append(float(l32)); l8s.append(float(l8))
+    assert np.mean(l8s[-10:]) < np.mean(l8s[:10])
+    assert abs(np.mean(l8s[-10:]) - np.mean(l32s[-10:])) < 0.1
+    tc32.close(); tc8.close()
+
+
 def test_sharded_trainable_cache_matches_single_chip():
     """Cache working set sharded over the (2,4) mesh must train EXACTLY like
     the single-chip trainable cache: same losses, same final tables; per-chip

@@ -111,6 +111,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="model-parallel (table-sharding) mesh axis")
     p.add_argument("--dedup-exchange", type=_str_bool, default=False,
                    help="ship unique rows through the sharded exchange")
+    import os as _os
+    p.add_argument("--alltoall-impl", type=str,
+                   default=_os.environ.get("DLRM_ALLTOALL_IMPL", "psum"),
+                   choices=["psum", "butterfly", "alltoall"],
+                   help="embedding exchange impl (≙ DLRM_ALLTOALL_IMPL, "
+                        "extend_distributed.py:34): psum = row-sharded; "
+                        "butterfly/alltoall = table-wise lax.all_to_all")
     p.add_argument("--compute-dtype", type=str, default="bfloat16")
     # EVStore flags (dlrm_s_pytorch_C1.py:1248-1268)
     p.add_argument("--use-evstore", type=_str_bool, default=False)
@@ -254,7 +261,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             ckpt_dir=args.save_model or None,
             ev_export_dir=(args.ev_table_path or None),
             resume=bool(args.load_model), seed=args.numpy_rand_seed,
-            mesh=mesh, dedup_exchange=args.dedup_exchange)
+            mesh=mesh, dedup_exchange=args.dedup_exchange,
+            alltoall_impl=args.alltoall_impl)
         print(f"training done: steps={res.steps} best={res.best_metric:.4f}")
         return 0
 

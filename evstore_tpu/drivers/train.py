@@ -42,12 +42,20 @@ def run_training(cfg: DLRMConfig, tcfg: TrainConfig,
                  seed: int = 0,
                  mesh=None,
                  dedup_exchange: bool = False,
+                 alltoall_impl: str = "psum",
                  log_fn=print) -> TrainResult:
     """Full training run.  make_*_batches are zero-arg callables returning a
     fresh batch iterator (epochs re-iterate).  With `mesh` (a 2D
     jax.sharding.Mesh over (data, model)) the SPMD sharded step is used:
     row-sharded tables + psum exchange, batch DP (parallel/sharded.py);
-    dedup_exchange ships unique rows only."""
+    dedup_exchange ships unique rows only.
+
+    alltoall_impl selects the exchange (≙ the reference's
+    DLRM_ALLTOALL_IMPL env switch, extend_distributed.py:34,559-576):
+    "psum" = row-sharded masked-gather + psum (the default);
+    "butterfly"/"alltoall" = table-wise sharding + lax.all_to_all over a 1D
+    mesh of all the mesh's devices (parallel/butterfly.py; requires plain
+    near-uniform tables)."""
     mll = MLPerfLogger(log_fn=log_fn)
     mll.event("init_start")
     params = init_dlrm(jax.random.PRNGKey(seed), cfg)
@@ -61,7 +69,31 @@ def run_training(cfg: DLRMConfig, tcfg: TrainConfig,
             start_step = s
             log_fn(f"resumed from checkpoint step {s}")
 
-    if mesh is not None:
+    sync_params = lambda p: p   # butterfly mode reconstructs on demand
+    if mesh is not None and alltoall_impl in ("butterfly", "alltoall"):
+        from jax.sharding import Mesh as _Mesh
+        from evstore_tpu.parallel.butterfly import (
+            AXIS, init_butterfly_state, make_butterfly_train_step,
+            unstack_tables)
+        bmesh = _Mesh(np.asarray(mesh.devices).reshape(-1), (AXIS,))
+        bstate = list(init_butterfly_state(params, tcfg, bmesh))
+        bstep = make_butterfly_train_step(
+            cfg, tcfg, bmesh, tcfg.batch_size,
+            dedup_exchange=dedup_exchange)(*bstate)
+        kcount = jnp.zeros((), jnp.int32)
+
+        def step_fn(p, o, dx, ix, y):
+            nonlocal kcount
+            (bstate[0], bstate[1], bstate[2], bstate[3],
+             loss) = bstep(*bstate, kcount, dx, ix, y)
+            kcount = kcount + 1
+            return p, o, loss
+
+        def sync_params(p):
+            return DLRMParams(bstate[0], unstack_tables(bstate[1], p).sparse)
+
+        eval_step = make_eval_step(cfg) if make_test_batches else None
+    elif mesh is not None:
         from evstore_tpu.parallel.sharded import (make_sharded_eval_step,
                                                   make_sharded_train_step,
                                                   shard_dlrm_params)
@@ -105,7 +137,8 @@ def run_training(cfg: DLRMConfig, tcfg: TrainConfig,
                 t0, n_since = time.perf_counter(), 0
             if (make_test_batches and tcfg.test_freq > 0
                     and step % tcfg.test_freq == 0):
-                metrics = evaluate(params, cfg, make_test_batches(), eval_step)
+                eval_p = sync_params(params)
+                metrics = evaluate(eval_p, cfg, make_test_batches(), eval_step)
                 history["eval"].append((step, metrics))
                 mll.event("eval_accuracy", {"step": step, **metrics})
                 log_fn(f"eval @ {step}: auc {metrics['auc']:.4f} "
@@ -115,10 +148,10 @@ def run_training(cfg: DLRMConfig, tcfg: TrainConfig,
                 if score > best:
                     best = score
                     if ckpt_dir:
-                        save_checkpoint(ckpt_dir, step, params, opt_state,
+                        save_checkpoint(ckpt_dir, step, eval_p, opt_state,
                                         extra={"metrics": metrics})
                     if ev_export_dir:
-                        export_ev_tables(params, ev_export_dir,
+                        export_ev_tables(eval_p, ev_export_dir,
                                          table_sizes=cfg.table_sizes)
                 if (tcfg.mlperf_auc_threshold > 0
                         and metrics["auc"] >= tcfg.mlperf_auc_threshold):
@@ -135,6 +168,7 @@ def run_training(cfg: DLRMConfig, tcfg: TrainConfig,
             break
 
     # final eval + save
+    params = sync_params(params)
     if make_test_batches:
         metrics = evaluate(params, cfg, make_test_batches(), eval_step)
         history["eval"].append((step, metrics))

@@ -85,6 +85,26 @@ def test_cli_train_sharded_mesh(capsys):
     assert "training done" in capsys.readouterr().out
 
 
+def test_cli_train_butterfly_alltoall(capsys):
+    """--alltoall-impl butterfly routes training through the table-wise
+    lax.all_to_all exchange (≙ DLRM_ALLTOALL_IMPL=alltoall), including eval
+    + EV export from the reconstructed table stack."""
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        rc = main(("--arch-sparse-feature-size 4 --arch-embedding-size "
+                   "40-40-30-30 --arch-mlp-bot 4-8-4 --arch-mlp-top 8-1 "
+                   "--mini-batch-size 16 --num-batches 8 --print-freq 4 "
+                   "--nbatches-test 4 --test-freq 4 "
+                   "--mesh-data 8 --alltoall-impl butterfly "
+                   "--dedup-exchange True "
+                   f"--ev-table-path {d} "
+                   "--learning-rate 0.1 --optimizer rwsadagrad").split())
+        assert rc == 0
+        assert os.path.exists(os.path.join(d, "ev-table-1.bin"))
+    out = capsys.readouterr().out
+    assert "training done" in out and "eval @" in out
+
+
 def test_cli_sharded_device_cache_inference(capsys):
     """--use-device-cache + --mesh-model shards the HBM cache over the
     virtual 8-device mesh end-to-end through the CLI."""

@@ -35,9 +35,19 @@ from evstore_tpu.train.optim import (OptState, PAD_ROW, dedup_rows,
 AXIS = "devices"
 
 
-def stack_tables(params: DLRMParams, n_devices: int
+def _default_order(T: int, n_devices: int) -> Tuple[int, ...]:
+    T_pad = -(-T // n_devices) * n_devices
+    return tuple(list(range(T)) + [-1] * (T_pad - T))
+
+
+def stack_tables(params: DLRMParams, n_devices: int,
+                 table_order: Tuple[int, ...] = None
                  ) -> Tuple[jnp.ndarray, int]:
-    """[T_pad, N_max, D] stacked tables (zero-padded); returns (stack, T)."""
+    """[T_pad, N_max, D] stacked tables (zero-padded); returns (stack, T).
+
+    table_order (e.g. from parallel/planner.plan_table_shards) places table
+    table_order[i] in stack slot i (-1 = empty padded slot); shard s owns
+    slots [s*Tl, (s+1)*Tl)."""
     tabs = []
     for t in range(len(params.sparse)):
         p = params.sparse[f"table_{t}"]
@@ -45,25 +55,36 @@ def stack_tables(params: DLRMParams, n_devices: int
             raise ValueError("butterfly mode requires plain tables")
         tabs.append(p["kind_plain"])
     T = len(tabs)
+    order = table_order or _default_order(T, n_devices)
     n_max = max(t.shape[0] for t in tabs)
     D = tabs[0].shape[1]
     T_pad = -(-T // n_devices) * n_devices
+    if len(order) != T_pad or sorted(o for o in order if o >= 0) != list(
+            range(T)):
+        raise ValueError("table_order must place each table exactly once "
+                         f"in {T_pad} slots")
     stack = jnp.zeros((T_pad, n_max, D), tabs[0].dtype)
-    for t, tab in enumerate(tabs):
-        stack = stack.at[t, :tab.shape[0]].set(tab)
+    for slot, t in enumerate(order):
+        if t >= 0:
+            stack = stack.at[slot, :tabs[t].shape[0]].set(tabs[t])
     return stack, T
 
 
-def unstack_tables(stack: jnp.ndarray, params: DLRMParams) -> DLRMParams:
+def unstack_tables(stack: jnp.ndarray, params: DLRMParams,
+                   table_order: Tuple[int, ...] = None) -> DLRMParams:
+    T = len(params.sparse)
+    order = table_order if table_order is not None else tuple(range(T))
+    pos_of = {t: slot for slot, t in enumerate(order) if t >= 0}
     new_sparse = {}
-    for t in range(len(params.sparse)):
+    for t in range(T):
         n = params.sparse[f"table_{t}"]["kind_plain"].shape[0]
-        new_sparse[f"table_{t}"] = {"kind_plain": stack[t, :n]}
+        new_sparse[f"table_{t}"] = {"kind_plain": stack[pos_of[t], :n]}
     return DLRMParams(params.dense, new_sparse)
 
 
 def make_butterfly_train_step(cfg: DLRMConfig, tcfg: TrainConfig, mesh: Mesh,
-                              global_batch: int, dedup_exchange: bool = False):
+                              global_batch: int, dedup_exchange: bool = False,
+                              table_order: Tuple[int, ...] = None):
     """Returns build(params) -> jitted step over
     (dense_params, stack, opt_dense, row_state[T_pad, N_max... no:
     rwsadagrad row state is [T_pad, N_max]], step, dense_x, idx, labels).
@@ -87,6 +108,12 @@ def make_butterfly_train_step(cfg: DLRMConfig, tcfg: TrainConfig, mesh: Mesh,
     T = cfg.num_tables
     B = global_batch
     Bl = B // n_dev
+    order = (table_order if table_order is not None
+             else _default_order(T, n_dev))
+    # slot -> table id (clamped for padded slots; their grads are zero) and
+    # table -> slot (static, for the destination-side reorder)
+    order_np = np.asarray([max(o, 0) for o in order], np.int32)
+    pos_of = [order.index(t) for t in range(T)]
 
     def local_step_dedup(dense_params, stack_local, dstate, row_state_local,
                          step, dense_x, idx_full, labels):
@@ -96,11 +123,12 @@ def make_butterfly_train_step(cfg: DLRMConfig, tcfg: TrainConfig, mesh: Mesh,
         U = min(Bl, n_max)
 
         # --- source side: per (local table, dest shard) unique rows ---
+        order_arr = jnp.asarray(order_np)
         uniq_src = []                       # [Tl][n_dev] each [U] global ids
         parts = []
         for tl in range(Tl):
-            gt = shard * Tl + tl
-            col = jnp.take(idx_full, jnp.minimum(gt, T - 1), axis=1)
+            ot = order_arr[shard * Tl + tl]     # slot -> table id
+            col = jnp.take(idx_full, ot, axis=1)
             col2 = col.reshape(n_dev, Bl)   # dest-major batch slices
             per_dest_rows, per_dest_ids = [], []
             for d in range(n_dev):
@@ -126,7 +154,9 @@ def make_butterfly_train_step(cfg: DLRMConfig, tcfg: TrainConfig, mesh: Mesh,
         def loss_fn(dparams, ly_in):
             recv = jax.lax.all_to_all(ly_in, AXIS, split_axis=0,
                                       concat_axis=0, tiled=True)
-            recv = recv.reshape(n_dev * Tl, U, D)[:T]      # [T, U, D]
+            recv = recv.reshape(n_dev * Tl, U, D)          # slot-major
+            recv = jnp.take(recv, jnp.asarray(pos_of, jnp.int32),
+                            axis=0)                        # [T, U, D]
             ly = jax.vmap(lambda r, i: jnp.take(r, i, axis=0))(recv, inv_mat)
             ly = jnp.moveaxis(ly, 0, 1)                    # [Bl, T, D]
             logits = dlrm_forward(DLRMParams(dparams, {}), dense_x, None,
@@ -167,12 +197,14 @@ def make_butterfly_train_step(cfg: DLRMConfig, tcfg: TrainConfig, mesh: Mesh,
         Tl = stack_local.shape[0]
         shard = jax.lax.axis_index(AXIS)
 
+        order_arr = jnp.asarray(order_np)
+
         def lookup(stack_l):
             outs = []
             for tl in range(Tl):
-                gt = shard * Tl + tl
-                # global table id may exceed T-1 on the padded shard; clamp
-                col = jnp.take(idx_full, jnp.minimum(gt, T - 1), axis=1)
+                # slot -> table id (padded slots clamp to 0; zero rows)
+                ot = order_arr[shard * Tl + tl]
+                col = jnp.take(idx_full, ot, axis=1)
                 outs.append(jnp.take(stack_l[tl], col, axis=0))
             return jnp.stack(outs, axis=1)         # [B, Tl, D]
 
@@ -181,8 +213,8 @@ def make_butterfly_train_step(cfg: DLRMConfig, tcfg: TrainConfig, mesh: Mesh,
         def loss_fn(dparams, ly_loc):
             # butterfly: full batch x local tables -> local batch x all tables
             ly = jax.lax.all_to_all(ly_loc, AXIS, split_axis=0, concat_axis=1,
-                                    tiled=True)    # [Bl, T_pad, D]
-            ly = ly[:, :T, :]
+                                    tiled=True)    # [Bl, T_pad, D] slot-major
+            ly = jnp.take(ly, jnp.asarray(pos_of, jnp.int32), axis=1)
             logits = dlrm_forward(DLRMParams(dparams, {}), dense_x, None,
                                   cfg, emb_rows=ly)
             return dlrm_loss(logits, labels, tcfg.loss_function,
@@ -204,8 +236,8 @@ def make_butterfly_train_step(cfg: DLRMConfig, tcfg: TrainConfig, mesh: Mesh,
         new_stack = stack_local
         new_row_state = row_state_local
         for tl in range(Tl):
-            gt = shard * Tl + tl
-            col = jnp.take(idx_full, jnp.minimum(gt, T - 1), axis=1)
+            ot = order_arr[shard * Tl + tl]
+            col = jnp.take(idx_full, ot, axis=1)
             uniq, summed, valid = dedup_rows(col, g_ly[:, tl, :], B)
             st = (new_row_state[tl] if new_row_state is not None else None)
             new_st, new_tab = sparse_update(st, new_stack[tl], uniq, summed,
@@ -231,12 +263,13 @@ def make_butterfly_train_step(cfg: DLRMConfig, tcfg: TrainConfig, mesh: Mesh,
     return build
 
 
-def init_butterfly_state(params: DLRMParams, tcfg: TrainConfig, mesh: Mesh):
+def init_butterfly_state(params: DLRMParams, tcfg: TrainConfig, mesh: Mesh,
+                         table_order: Tuple[int, ...] = None):
     """(dense_params, stack, dense_opt_state, row_state) device_put with
     shardings."""
     opt_init, _, _ = make_optimizer(tcfg.optimizer)
     n_dev = mesh.shape[AXIS]
-    stack, T = stack_tables(params, n_dev)
+    stack, T = stack_tables(params, n_dev, table_order)
     if tcfg.optimizer == "sgd":
         dstate = {}
         row_state = None

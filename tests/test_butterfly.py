@@ -108,6 +108,71 @@ def test_butterfly_dedup_equals_full_exchange():
                                rtol=1e-6, atol=1e-7)
 
 
+def test_planner_balances_skewed_tables():
+    from evstore_tpu.parallel.planner import (contiguous_order,
+                                              plan_table_shards)
+    # Criteo-like skew: a few huge tables, many tiny ones
+    sizes = [1_000_000, 900_000, 800_000, 700_000] + [100] * 12
+    order, imb = plan_table_shards(sizes, 4)
+    assert sorted(o for o in order if o >= 0) == list(range(16))
+    # contiguous split puts all 4 giants on shard 0
+    cont = contiguous_order(16, 4)
+    def shard_cost(o):
+        Tl = len(o) // 4
+        return [sum(sizes[t] for t in o[s*Tl:(s+1)*Tl] if t >= 0)
+                for s in range(4)]
+    cc = shard_cost(cont)
+    assert max(cc) / (sum(cc) / 4) > 3.5      # contiguous: ~4x imbalance
+    # optimum: largest (unsplittable) table + the 3 leftover tiny tables
+    # that must share its shard (4 slots/shard), over the mean load
+    opt = (max(sizes) + 3 * 100) / (sum(sizes) / 4)
+    assert imb <= opt + 1e-6                  # LPT hits the optimum here
+    # frequency-aware: costs follow freqs, not rows
+    freqs = [1.0] * 16
+    freqs[15] = 100.0
+    order_f, imb_f = plan_table_shards(sizes, 4, freqs=freqs)
+    # optimum under the 4-slots-per-shard constraint: giant shard also takes
+    # the 3 leftover unit-freq tables -> (100+3)/(115/4)
+    assert imb_f <= (100 + 3) / (115 / 4) + 1e-6
+
+
+def test_butterfly_planned_order_matches_single_device():
+    """A planner-permuted table placement must compute the identical
+    training step (loss + tables) as single-device — placement is a pure
+    layout choice."""
+    from evstore_tpu.parallel.planner import plan_table_shards
+    # interleaved sizes so LPT actually permutes the placement
+    cfg = make_dlrm_config(4, (30, 40, 30, 40, 40, 30, 40, 30),
+                           (8,), (8,), num_dense=4)
+    tcfg = TrainConfig(batch_size=16, learning_rate=0.1,
+                       optimizer="rwsadagrad")
+    params = init_dlrm(jax.random.PRNGKey(0), cfg)
+    dense, idx, labels = _batch(cfg, 16)
+    step1 = jax.jit(make_train_step(cfg, tcfg))
+    p1, _, loss1 = step1(params, init_opt_state(params, tcfg), dense, idx,
+                         labels)
+    mesh = _mesh(8)
+    order, _ = plan_table_shards(cfg.table_sizes, 8)
+    assert order != tuple(range(8))     # actually permuted
+    for dedup in (False, True):
+        d0, stack, dstate, row_state = init_butterfly_state(
+            params, tcfg, mesh, table_order=order)
+        step = make_butterfly_train_step(cfg, tcfg, mesh, 16,
+                                         dedup_exchange=dedup,
+                                         table_order=order)(
+            d0, stack, dstate, row_state)
+        d1, stack1, _, _, lossN = step(d0, stack, dstate, row_state,
+                                       jnp.zeros((), jnp.int32), dense, idx,
+                                       labels)
+        np.testing.assert_allclose(float(lossN), float(loss1), rtol=1e-5)
+        pN = unstack_tables(stack1, params, table_order=order)
+        for t in range(cfg.num_tables):
+            np.testing.assert_allclose(
+                np.asarray(pN.sparse[f"table_{t}"]["kind_plain"]),
+                np.asarray(p1.sparse[f"table_{t}"]["kind_plain"]),
+                rtol=1e-4, atol=1e-6, err_msg=f"dedup={dedup} table_{t}")
+
+
 def test_butterfly_multiple_steps_converge():
     cfg = _cfg()
     tcfg = TrainConfig(batch_size=32, learning_rate=0.3, optimizer="rwsadagrad")

@@ -75,11 +75,18 @@ def run_training(cfg: DLRMConfig, tcfg: TrainConfig,
         from evstore_tpu.parallel.butterfly import (
             AXIS, init_butterfly_state, make_butterfly_train_step,
             unstack_tables)
+        from evstore_tpu.parallel.planner import plan_table_shards
         bmesh = _Mesh(np.asarray(mesh.devices).reshape(-1), (AXIS,))
-        bstate = list(init_butterfly_state(params, tcfg, bmesh))
+        # LPT-balanced table placement (vs the reference's contiguous
+        # get_my_slice split) — a pure layout choice, numerically identical
+        order, imb = plan_table_shards(cfg.table_sizes,
+                                       bmesh.shape[AXIS])
+        log_fn(f"butterfly placement: order {order} (imbalance {imb:.2f})")
+        bstate = list(init_butterfly_state(params, tcfg, bmesh,
+                                           table_order=order))
         bstep = make_butterfly_train_step(
             cfg, tcfg, bmesh, tcfg.batch_size,
-            dedup_exchange=dedup_exchange)(*bstate)
+            dedup_exchange=dedup_exchange, table_order=order)(*bstate)
         kcount = jnp.zeros((), jnp.int32)
 
         def step_fn(p, o, dx, ix, y):
@@ -90,7 +97,8 @@ def run_training(cfg: DLRMConfig, tcfg: TrainConfig,
             return p, o, loss
 
         def sync_params(p):
-            return DLRMParams(bstate[0], unstack_tables(bstate[1], p).sparse)
+            return DLRMParams(bstate[0], unstack_tables(
+                bstate[1], p, table_order=order).sparse)
 
         eval_step = make_eval_step(cfg) if make_test_batches else None
     elif mesh is not None:

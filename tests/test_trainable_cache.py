@@ -335,6 +335,29 @@ def test_sharded_trainable_cache_matches_single_chip():
     single.close(); shard.close()
 
 
+def test_sharded_int8_cache_learns():
+    """int8 rows in the SHARDED trainable cache: per-shard stochastic
+    rounding (identical across data replicas) must still learn."""
+    import jax.numpy as jnp
+    from evstore_tpu.cache.trainable import ShardedTrainableDeviceCache
+    from evstore_tpu.parallel.mesh import make_mesh
+
+    cfg, tcfg, _, params, tables, dcfg = _setup(capacity=48, n_batches=60,
+                                                bs=32)
+    c8 = CacheConfig(policy="evlfu", total_size=48, main_precision=8)
+    shard = ShardedTrainableDeviceCache(cfg, tcfg, c8, tables, make_mesh(2, 4))
+    assert shard.cache_values.dtype == jnp.uint8
+    dense = params.dense
+    dst = jax.tree_util.tree_map(
+        lambda p: jnp.zeros_like(p, dtype=jnp.float32), params.dense)
+    losses = []
+    for k, (dx, idx, y) in enumerate(learnable_batches(dcfg)):
+        dense, dst, l = shard.train_batch(dense, dst, k, dx, idx, y)
+        losses.append(float(l))
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
+    shard.close()
+
+
 def test_sharded_file_backed_composition(tmp_path):
     """ShardedTrainableDeviceCache.from_files: cache sharded over the mesh
     AND master tables on disk — bounded HBM per chip + bounded DRAM at once;

@@ -56,6 +56,47 @@ def run_point(n_devices: int, per_device_batch: int, n_model: int,
     return steps * B / dt
 
 
+def run_point_butterfly(n_devices: int, per_device_batch: int,
+                        steps: int = 30, dedup: bool = False):
+    """Table-wise lax.all_to_all exchange point (--alltoall-impl butterfly),
+    with the LPT-planned placement."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+    from evstore_tpu.config import TrainConfig, make_dlrm_config
+    from evstore_tpu.models.dlrm import init_dlrm
+    from evstore_tpu.parallel.butterfly import (AXIS, init_butterfly_state,
+                                                make_butterfly_train_step)
+    from evstore_tpu.parallel.planner import plan_table_shards
+
+    mesh = Mesh(np.asarray(jax.devices()[:n_devices]), (AXIS,))
+    cfg = make_dlrm_config(16, tuple([50_000] * 8), (64,), (64,),
+                           num_dense=13)
+    B = per_device_batch * n_devices
+    tcfg = TrainConfig(batch_size=B, optimizer="rwsadagrad",
+                       learning_rate=0.1)
+    params = init_dlrm(jax.random.PRNGKey(0), cfg)
+    order, _ = plan_table_shards(cfg.table_sizes, n_devices)
+    state = list(init_butterfly_state(params, tcfg, mesh, table_order=order))
+    step = make_butterfly_train_step(cfg, tcfg, mesh, B, dedup_exchange=dedup,
+                                     table_order=order)(*state)
+    rng = np.random.default_rng(0)
+    dense = jnp.asarray(rng.random((B, 13)), jnp.float32)
+    idx = jnp.asarray(np.stack([rng.integers(0, s, B)
+                                for s in cfg.table_sizes], 1), jnp.int32)
+    y = jnp.asarray(rng.integers(0, 2, B), jnp.float32)
+    k = jnp.zeros((), jnp.int32)
+    *state, loss = step(*state, k, dense, idx, y)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        *state, loss = step(*state, k + 1 + i, dense, idx, y)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    return steps * B / dt
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--virtual", action="store_true",
@@ -65,6 +106,8 @@ def main():
     p.add_argument("--n-model", type=int, default=2)
     p.add_argument("--dedup-exchange", action="store_true",
                    help="ship unique rows through the exchange")
+    p.add_argument("--alltoall-impl", choices=["psum", "butterfly"],
+                   default="psum")
     args = p.parse_args()
     import jax
     if args.virtual:
@@ -74,8 +117,12 @@ def main():
     points = []
     n = 1
     while n <= maxd:
-        eps = run_point(n, args.per_device_batch, args.n_model,
-                        dedup=args.dedup_exchange)
+        if args.alltoall_impl == "butterfly":
+            eps = run_point_butterfly(n, args.per_device_batch,
+                                      dedup=args.dedup_exchange)
+        else:
+            eps = run_point(n, args.per_device_batch, args.n_model,
+                            dedup=args.dedup_exchange)
         points.append({"devices": n, "examples_per_s": eps,
                        "per_device": eps / n})
         print(json.dumps(points[-1]), flush=True)

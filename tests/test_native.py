@@ -132,3 +132,36 @@ def test_native_throughput_sane(native_cls, tables, rng):
     t0 = time.perf_counter(); nc.request_batch(stream); t_nc = time.perf_counter() - t0
     assert t_nc < t_py, (t_nc, t_py)
     nc.close()
+
+
+def test_sanitizer_build_runs_clean():
+    """UBSan-instrumented engine (ESV_SANITIZE=undefined) must run a
+    multi-tier zipf workload with zero 'runtime error:' reports — the race/
+    UB checking the reference never had (its C++ acknowledges races in
+    comments, evlfu_8.cpp:521,696, and builds plain -O3)."""
+    import subprocess, sys, os
+    code = """
+import numpy as np
+from evstore_tpu.config import CacheConfig
+from evstore_tpu.native import NativeTieredCache
+rng = np.random.default_rng(0)
+tables = [np.asarray(rng.uniform(-1, 1, (200, 8)), np.float32)
+          for _ in range(4)]
+cfg = CacheConfig(policy="evlfu", n_caching_layers=3, total_size=64,
+                  main_precision=8, secondary_precision=4,
+                  size_proportion=(48, 48, 4))
+nc = NativeTieredCache(cfg, 4, 8).load_tables(tables)
+nc.load_altkeys([np.asarray((np.arange(200) % 50) * 100 + t, np.uint32)
+                 for t in range(4)])
+zipf = np.minimum(rng.zipf(1.3, size=(400, 4)) - 1, 199).astype(np.int32)
+out = nc.request_batch(zipf)
+assert np.isfinite(out).all()
+nc.close()
+print("SAN-OK")
+"""
+    env = dict(os.environ, ESV_SANITIZE="undefined")
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "SAN-OK" in r.stdout
+    assert "runtime error:" not in r.stderr, r.stderr[-2000:]

@@ -33,9 +33,15 @@ def _batches(cfg, B, n, seed=0, zipf=False):
     return list(random_batches(dcfg))
 
 
-def bench_train(cfg, B=8192, n_steps=40, n_windows=3):
+def bench_train(cfg, B=32768, n_steps=40, n_windows=3):
     """Best-of-N timing windows over one compiled program (the shared-tunnel
-    TPU shows ~1.5x run-to-run variance)."""
+    TPU shows ~1.5x run-to-run variance).
+
+    B=32768: measured throughput saturation on v5e is ~98M ex/s at 32k vs
+    ~22M at 8k (step time is launch/HBM-latency-bound at small batch); 32k
+    is within the MLPerf DLRM global-batch recipe (run_and_time.sh bs 2048
+    was a 2019-GPU constraint, not a convergence one — MLPerf v1+ submissions
+    train DLRM at 32k-64k)."""
     import jax
     import jax.numpy as jnp
     from evstore_tpu.config import TrainConfig
@@ -62,7 +68,7 @@ def bench_train(cfg, B=8192, n_steps=40, n_windows=3):
     return best
 
 
-def bench_infer(cfg, B=8192, n_steps=100):
+def bench_infer(cfg, B=32768, n_steps=100):
     import jax
     import jax.numpy as jnp
     from evstore_tpu.models.dlrm import init_dlrm, dlrm_forward

@@ -152,6 +152,102 @@ inline uint64_t make_key(int table, int64_t row) {
   return (uint64_t(uint32_t(table)) << 40) | uint64_t(row);
 }
 
+// Open-addressing hash map (linear probing, backward-shift deletion,
+// fibonacci multiply-shift hash).  The tier hot path is ~130 map probes per
+// request group; std::unordered_map's chained buckets made those probes the
+// dominant engine cost.  Keys are make_key() values (table <= 2^24), so ~0
+// is never a valid key and serves as the empty slot marker.
+template <typename V>
+class FlatMap {
+ public:
+  static constexpr uint64_t kEmpty = ~0ull;
+
+  FlatMap() { rehash_(16); }
+
+  void reserve(size_t n) {
+    size_t want = 16;
+    while (want < n * 2) want <<= 1;
+    if (want > cap_) rehash_(want);
+  }
+
+  V* find(uint64_t k) {
+    size_t i = idx_(k);
+    for (;;) {
+      if (keys_[i] == k) return &vals_[i];
+      if (keys_[i] == kEmpty) return nullptr;
+      i = (i + 1) & mask_;
+    }
+  }
+
+  void insert(uint64_t k, V v) {  // insert-or-assign
+    if ((size_ + 1) * 2 > cap_) rehash_(cap_ * 2);
+    size_t i = idx_(k);
+    for (;;) {
+      if (keys_[i] == kEmpty) break;
+      if (keys_[i] == k) { vals_[i] = v; return; }
+      i = (i + 1) & mask_;
+    }
+    keys_[i] = k;
+    vals_[i] = v;
+    size_++;
+  }
+
+  bool erase(uint64_t k) {
+    size_t i = idx_(k);
+    for (;;) {
+      if (keys_[i] == kEmpty) return false;
+      if (keys_[i] == k) break;
+      i = (i + 1) & mask_;
+    }
+    // backward-shift: keep every displaced key reachable without tombstones
+    // (the eviction-heavy EvLFU workload erases on nearly every insert)
+    size_t hole = i, j = i;
+    for (;;) {
+      j = (j + 1) & mask_;
+      if (keys_[j] == kEmpty) break;
+      size_t h = idx_(keys_[j]);
+      if (((j - h) & mask_) >= ((j - hole) & mask_)) {
+        keys_[hole] = keys_[j];
+        vals_[hole] = vals_[j];
+        hole = j;
+      }
+    }
+    keys_[hole] = kEmpty;
+    size_--;
+    return true;
+  }
+
+  size_t size() const { return size_; }
+
+  template <typename F>
+  void for_each(F f) const {
+    for (size_t i = 0; i < cap_; i++)
+      if (keys_[i] != kEmpty) f(keys_[i], vals_[i]);
+  }
+
+ private:
+  size_t idx_(uint64_t k) const {
+    return (size_t)((k * 0x9E3779B97F4A7C15ull) >> shift_);
+  }
+  void rehash_(size_t n) {
+    std::vector<uint64_t> ok = std::move(keys_);
+    std::vector<V> ov = std::move(vals_);
+    cap_ = n;
+    mask_ = n - 1;
+    shift_ = 64;
+    for (size_t t = n; t > 1; t >>= 1) shift_--;
+    keys_.assign(n, kEmpty);
+    vals_.assign(n, V());
+    size_ = 0;
+    for (size_t i = 0; i < ok.size(); i++)
+      if (ok[i] != kEmpty) insert(ok[i], ov[i]);
+  }
+  size_t cap_ = 0, mask_ = 0, size_ = 0;
+  int shift_ = 64;
+  std::vector<uint64_t> keys_;
+  std::vector<V> vals_;
+};
+
 struct Entry {
   uint64_t key;
   int agg;
@@ -232,8 +328,8 @@ class EvLFUTier {
   int precision() const { return precision_; }
 
   Entry* find(uint64_t k) {
-    auto it = map_.find(k);
-    return it == map_.end() ? nullptr : it->second;
+    Entry** p = map_.find(k);
+    return p ? *p : nullptr;
   }
 
   // EvLFU_C1.py:32-63 / evlfu_8.cpp setKey:252-300.  evicted_slots (assign
@@ -280,7 +376,7 @@ class EvLFUTier {
     e->key = k; e->agg = agg;
     memcpy(e->value, val, nb_);
     buckets_[agg].push_back(e);
-    map_[k] = e;
+    map_.insert(k, e);
     if (agg < min_agg_) min_agg_ = agg;
   }
 
@@ -301,12 +397,12 @@ class EvLFUTier {
   // assign mode only (4-byte slot payload): dump resident (key, slot) pairs
   size_t export_entries(uint64_t* keys, int32_t* slots, size_t maxn) {
     size_t n = 0;
-    for (auto& kv : map_) {
-      if (n >= maxn) break;
-      keys[n] = kv.first;
-      memcpy(&slots[n], kv.second->value, 4);
+    map_.for_each([&](uint64_t k, Entry* e) {
+      if (n >= maxn) return;
+      keys[n] = k;
+      memcpy(&slots[n], e->value, 4);
       n++;
-    }
+    });
     return n;
   }
 
@@ -320,7 +416,7 @@ class EvLFUTier {
   int precision_, dim_, nb_;
   size_t max_perfect_ = 0, n_perfect_ = 0;
   int min_agg_ = 0;
-  std::unordered_map<uint64_t, Entry*> map_;
+  FlatMap<Entry*> map_;
   std::vector<Bucket> buckets_;
   Entry* free_entries_ = nullptr;
   std::vector<uint8_t*> slabs_;
@@ -511,6 +607,18 @@ struct Engine {
   // stats (cache_manager.cpp:262-290)
   uint64_t n_requests = 0, n_perfect = 0, c3_hits = 0;
 
+  // per-request scratch, hoisted: the request paths otherwise make ~10 small
+  // heap allocations per request group (profiled at B*T scale)
+  struct {
+    std::vector<uint64_t> keys;
+    std::vector<const uint8_t*> hit_vals;
+    std::vector<uint8_t> c1_hit, c2_hit, c2_update, c2_insert;
+    std::vector<int> c3_val_idx, c1_fetch;
+    std::vector<float> c3_vals, tmp;
+    std::vector<uint8_t> enc;
+    std::vector<uint64_t> evicted;
+  } scr;
+
   ~Engine() {
     pool.shutdown();
     delete c1; delete c2; delete c3;
@@ -538,8 +646,10 @@ struct Engine {
   int request_c1(const int64_t* rows, float* out,
                  std::vector<float>& prefetched, const int* pre_idx) {
     int T = n_tables;
-    std::vector<uint64_t> keys(T);
-    std::vector<const uint8_t*> hit_vals(T, nullptr);
+    auto& keys = scr.keys;
+    auto& hit_vals = scr.hit_vals;
+    keys.resize(T);
+    hit_vals.assign(T, nullptr);
     int agg = 0;
     c1->n_lookups += T;
     for (int i = 0; i < T; i++) {
@@ -547,9 +657,12 @@ struct Engine {
       Entry* e = c1->find(keys[i]);
       if (e) { hit_vals[i] = e->value; agg++; c1->n_hits++; }
     }
-    std::vector<uint64_t> evicted;
-    std::vector<uint8_t> enc(c1->nb());
-    std::vector<float> tmp(dim);
+    auto& evicted = scr.evicted;
+    auto& enc = scr.enc;
+    auto& tmp = scr.tmp;
+    evicted.clear();
+    enc.resize(c1->nb());
+    tmp.resize(dim);
     for (int i = 0; i < T; i++) {
       float* dst = out + i * dim;
       if (hit_vals[i]) {
@@ -581,11 +694,20 @@ struct Engine {
   int request_tiered(const int64_t* rows, float* out,
                      std::vector<float>& prefetched, const int* pre_idx) {
     int T = n_tables;
-    std::vector<uint64_t> keys(T);
-    std::vector<bool> c1_hit(T, false), c2_hit(T, false);
-    std::vector<bool> c2_update(T, true), c2_insert(T, false);
-    std::vector<int> c3_val_idx(T, -1);
-    std::vector<float> c3_vals;
+    auto& keys = scr.keys;
+    auto& c1_hit = scr.c1_hit;
+    auto& c2_hit = scr.c2_hit;
+    auto& c2_update = scr.c2_update;
+    auto& c2_insert = scr.c2_insert;
+    auto& c3_val_idx = scr.c3_val_idx;
+    auto& c3_vals = scr.c3_vals;
+    keys.resize(T);
+    c1_hit.assign(T, 0);
+    c2_hit.assign(T, 0);
+    c2_update.assign(T, 1);
+    c2_insert.assign(T, 0);
+    c3_val_idx.assign(T, -1);
+    c3_vals.clear();
 
     for (int i = 0; i < T; i++) keys[i] = make_key(i, rows[i]);
 
@@ -641,7 +763,8 @@ struct Engine {
       }
     }
 
-    std::vector<int> c1_fetch;
+    auto& c1_fetch = scr.c1_fetch;
+    c1_fetch.clear();
     bool c1_full = c1->size() >= c1->cap();
     if (c1_full) {
       if (agg < high_agg_threshold) {
@@ -663,9 +786,12 @@ struct Engine {
         if (c1_hit[i] && c3_val_idx[i] < 0) agg++;
     }
 
-    std::vector<uint64_t> evicted;
-    std::vector<float> tmp(dim);
-    std::vector<uint8_t> enc(std::max(c1->nb(), c2 ? c2->nb() : 0));
+    auto& evicted = scr.evicted;
+    auto& tmp = scr.tmp;
+    auto& enc = scr.enc;
+    evicted.clear();
+    tmp.resize(dim);
+    enc.resize(std::max(c1->nb(), c2 ? c2->nb() : 0));
 
     auto fetch_row = [&](int i) -> const float* {
       if (pre_idx && pre_idx[i] >= 0) return &prefetched[pre_idx[i] * dim];
@@ -823,8 +949,10 @@ static long assign_batch_impl(void* h, const int64_t* idx, long B,
   const int32_t C = (int32_t)da.capacity;
   EvLFUTier* pol = da.policy;
 
-  std::unordered_map<uint64_t, int32_t> seg_buf;   // key -> C + m
-  std::unordered_map<int32_t, int32_t> scat;       // slot -> m
+  FlatMap<int32_t> seg_buf;                        // key -> C + m
+  FlatMap<int32_t> scat;                           // slot -> m
+  seg_buf.reserve((size_t)B * T / 8 + 16);
+  scat.reserve(512);
   std::vector<std::pair<int, int64_t>> buf_keys;   // fetches, per m
   std::vector<int32_t> evicted_slots;
   std::vector<uint64_t> evicted_keys_tmp;
@@ -851,7 +979,7 @@ static long assign_batch_impl(void* h, const int64_t* idx, long B,
         // hasn't run), so its cache cell holds garbage — its authoritative
         // value is the miss buffer, handled by the caller's post-step
         // write-back once we erase its scatter entry below.
-        bool inserted_this_call = seg_buf.count(keys[i]) > 0;
+        bool inserted_this_call = seg_buf.find(keys[i]) != nullptr;
         if (train && out_evicted_keys && !inserted_this_call
             && n_evicted < max_evict) {
           out_evicted_keys[n_evicted] = keys[i];
@@ -881,7 +1009,7 @@ static long assign_batch_impl(void* h, const int64_t* idx, long B,
     int32_t m = (int32_t)buf_keys.size();
     buf_keys.push_back({t, row});
     m_filled.push_back(0);
-    seg_buf[key] = C + m;
+    seg_buf.insert(key, C + m);
     return C + m;
   };
 
@@ -929,21 +1057,21 @@ static long assign_batch_impl(void* h, const int64_t* idx, long B,
           if (slot >= 0) {
             Entry* e = pol->find(k);
             memcpy(e->value, &slot, 4);
-            scat[slot] = out - C;
+            scat.insert(slot, out - C);
           }
         } else {
           int32_t slot;
           memcpy(&slot, v, 4);
-          auto it = seg_buf.find(k);
-          if (it != seg_buf.end()) {
-            out = it->second;              // inserted this segment
+          int32_t* it = seg_buf.find(k);
+          if (it) {
+            out = *it;                     // inserted this segment
           } else if (slot == DeviceAssign::kNoSlot) {
             out = buffer_serve(k, t, rows[t]);
             int32_t s2 = take_slot();
             if (s2 >= 0) {
               Entry* e = pol->find(k);
               memcpy(e->value, &s2, 4);
-              scat[s2] = out - C;
+              scat.insert(s2, out - C);
             }
           } else {
             da.pinned[slot] = 1;
@@ -954,9 +1082,9 @@ static long assign_batch_impl(void* h, const int64_t* idx, long B,
         // C2 hit: serve decoded secondary-precision bytes from DRAM — no
         // storage IO; phase-2 promotes the C2 entry with the combined agg
         // (evlfu_8.cpp:611-614).  The row stays C2-resident (no C1 insert).
-        auto sit = seg_buf.find(k);
-        if (sit != seg_buf.end()) {
-          out = sit->second;               // already shipped this segment
+        int32_t* sit = seg_buf.find(k);
+        if (sit) {
+          out = *sit;                      // already shipped this segment
         } else {
           Entry* e2 = eng->c2->find(k);
           out = buffer_serve(k, t, rows[t]);
@@ -971,8 +1099,8 @@ static long assign_batch_impl(void* h, const int64_t* idx, long B,
           // a C2-designated / approx-served key repeats within the batch:
           // serve its existing buffer copy (a second designation would
           // duplicate the C2 insert)
-          auto sit = seg_buf.find(k);
-          if (sit != seg_buf.end()) { out = sit->second; served = true; }
+          int32_t* sit = seg_buf.find(k);
+          if (sit) { out = *sit; served = true; }
         }
         // double miss: consult C3 alt-key and re-probe C1 then C2 with the
         // approximate key (evlfu_8.cpp find_approximate_ev:474-490)
@@ -981,10 +1109,10 @@ static long assign_batch_impl(void* h, const int64_t* idx, long B,
           if (eng->c3->get(k, &ak)) {
             // altKey = tableId + 100*rowId (convert_altkeys_to_binary.py:50)
             uint64_t akk = make_key((int)(ak % 100), (int64_t)(ak / 100));
-            auto itb = seg_buf.find(akk);
+            int32_t* itb = seg_buf.find(akk);
             Entry* e1 = pol->find(akk);
-            if (itb != seg_buf.end()) {
-              out = itb->second; served = true;   // alt row already shipped
+            if (itb) {
+              out = *itb; served = true;          // alt row already shipped
             } else if (e1) {
               int32_t slot;
               memcpy(&slot, e1->value, 4);
@@ -1019,7 +1147,7 @@ static long assign_batch_impl(void* h, const int64_t* idx, long B,
           if (slot >= 0) {
             Entry* e = pol->find(k);
             memcpy(e->value, &slot, 4);
-            scat[slot] = out - C;
+            scat.insert(slot, out - C);
           }
         }
       }
@@ -1063,11 +1191,11 @@ static long assign_batch_impl(void* h, const int64_t* idx, long B,
   }
 
   long n_scat = 0;
-  for (auto& kv : scat) {
-    out_scat_slots[n_scat] = kv.first;
-    out_scat_m[n_scat] = kv.second;
+  scat.for_each([&](uint64_t slot, int32_t m) {
+    out_scat_slots[n_scat] = (int32_t)slot;
+    out_scat_m[n_scat] = m;
     n_scat++;
-  }
+  });
   *out_n_scat = n_scat;
 
   if (train) {
@@ -1085,14 +1213,13 @@ static long assign_batch_impl(void* h, const int64_t* idx, long B,
             if (slot >= 0) {
               target = slot;                       // cache-resident
             } else {
-              auto it = seg_buf.find(k);
-              target = (it != seg_buf.end()) ? it->second
-                                             : INT32_MAX;  // no home: drop
+              int32_t* it = seg_buf.find(k);
+              target = it ? *it : INT32_MAX;       // no home: drop
             }
           } else {
             // evicted mid-call: update only if a buffer copy exists
-            auto it = seg_buf.find(k);
-            target = (it != seg_buf.end()) ? it->second : INT32_MAX;
+            int32_t* it = seg_buf.find(k);
+            target = it ? *it : INT32_MAX;
           }
           out_upd_targets[b * T + t] = target;
         }
@@ -1243,24 +1370,25 @@ long esv_lookup_batch(void* h, const int64_t* idx, long B, float* out) {
   // batch-level miss prefetch: collect keys absent from all tiers and bulk
   // read them on the pool.  A key inserted/evicted mid-batch falls back to a
   // synchronous read — policy semantics are unchanged.
-  std::unordered_map<uint64_t, int> pre_map;
+  FlatMap<int> pre_map;
+  pre_map.reserve((size_t)B * T / 4 + 16);
   std::vector<ReadJob> jobs;
   std::vector<float> pre_buf;
   for (long b = 0; b < B; b++) {
     for (int i = 0; i < T; i++) {
       uint64_t k = make_key(i, idx[b * T + i]);
-      if (pre_map.count(k)) continue;
+      if (pre_map.find(k)) continue;
       if (e->c1->find(k)) continue;
       if (e->c2 && e->c2->find(k)) continue;
       int slot = (int)pre_map.size();
-      pre_map[k] = slot;
+      pre_map.insert(k, slot);
       jobs.push_back({i, idx[b * T + i], nullptr});
     }
   }
   pre_buf.resize(pre_map.size() * (size_t)D);
   for (size_t j = 0; j < jobs.size(); j++) {
     uint64_t k = make_key(jobs[j].table, jobs[j].row);
-    jobs[j].dst = &pre_buf[pre_map[k] * (size_t)D];
+    jobs[j].dst = &pre_buf[*pre_map.find(k) * (size_t)D];
   }
   e->pool.run(jobs);
 
@@ -1270,8 +1398,8 @@ long esv_lookup_batch(void* h, const int64_t* idx, long B, float* out) {
   for (long b = 0; b < B; b++) {
     for (int i = 0; i < T; i++) {
       rows[i] = idx[b * T + i];
-      auto it = pre_map.find(make_key(i, rows[i]));
-      pre_idx[i] = (it == pre_map.end()) ? -1 : it->second;
+      int* p = pre_map.find(make_key(i, rows[i]));
+      pre_idx[i] = p ? *p : -1;
     }
     e->n_requests++;
     int p;

@@ -165,3 +165,56 @@ print("SAN-OK")
     assert r.returncode == 0, r.stderr[-2000:]
     assert "SAN-OK" in r.stdout
     assert "runtime error:" not in r.stderr, r.stderr[-2000:]
+
+
+def test_native_python_parity_fuzz(native_cls):
+    """Randomized config sweep: bit-exact C++/Python parity over random
+    (capacity, layers, precisions, table geometry, stream skew) points.
+
+    Streams repeat heavily so the perfect-set flush (EvLFU_C1.py:36-44),
+    min-bucket wrap (:52-54), and eviction-per-insert churn all fire — the
+    native map's deletion path gets exercised at every capacity."""
+    rng = np.random.default_rng(1234)
+    for trial in range(8):
+        n_tables = int(rng.integers(2, 7))
+        dim = int(rng.choice([4, 8, 12]))
+        n_rows = int(rng.integers(20, 120))
+        layers = int(rng.choice([1, 1, 2, 3]))
+        p1 = int(rng.choice([32, 16, 8]))
+        p2 = int(rng.choice([8, 4]))
+        cap = int(rng.integers(6, 80))
+        tables = [rng.uniform(-0.9, 0.9, (n_rows, dim)).astype(np.float32)
+                  for _ in range(n_tables)]
+        cfg = CacheConfig(policy="evlfu", n_caching_layers=layers,
+                          total_size=cap, main_precision=p1,
+                          secondary_precision=p2,
+                          size_proportion=(48, 48, 4), c3_io_batch=5)
+        alt = [np.array([altkey_encode(t, (r * 3 + 1) % n_rows)
+                         for r in range(n_rows)], np.uint32)
+               for t in range(n_tables)]
+        sm = StorageManager("dummy", dim=dim).load(tables=tables)
+        py = TieredCache(cfg, sm, n_tables, dim,
+                         altkey_resolver=AltKeyResolver(neighbor_rows=alt))
+        nc = native_cls(cfg, n_tables, dim).load_tables(tables)
+        if layers >= 3:
+            nc.load_altkeys(alt)
+        # hot set small enough that perfect groups accumulate -> flush fires
+        hot = max(2, n_rows // 10)
+        stream = np.where(rng.random((600, n_tables)) < 0.8,
+                          rng.integers(0, hot, (600, n_tables)),
+                          rng.integers(0, n_rows, (600, n_tables))
+                          ).astype(np.int64)
+        py_out = py.request_batch(stream)
+        nc_out = nc.request_batch(stream)
+        np.testing.assert_allclose(
+            nc_out, py_out, rtol=1e-6, atol=1e-7,
+            err_msg=f"trial {trial}: cfg={cfg} n_tables={n_tables} dim={dim}")
+        ps, ns = py.stats(), nc.stats()
+        assert ns["perfect_hits"] == ps["perfect_hits"], (trial, cfg)
+        assert ns["c1"]["size"] == ps["c1"]["size"], (trial, cfg)
+        if layers >= 2:
+            assert ns["c2"]["size"] == ps["c2"]["size"], (trial, cfg)
+        if layers >= 3:
+            assert ns["c3"]["size"] == ps["c3"]["size"], (trial, cfg)
+            assert ns["c3"]["hits"] == ps["c3"]["hits"], (trial, cfg)
+        nc.close()

@@ -218,3 +218,23 @@ def test_native_python_parity_fuzz(native_cls):
             assert ns["c3"]["size"] == ps["c3"]["size"], (trial, cfg)
             assert ns["c3"]["hits"] == ps["c3"]["hits"], (trial, cfg)
         nc.close()
+
+
+def test_flatmap_differential_stress(tmp_path):
+    """Brute-force FlatMap (the engine's open-addressing map) against
+    std::unordered_map under ASan+UBSan — 200 trials x 2000 random
+    insert/erase/find ops at small capacities, so the backward-shift
+    deletion crosses table-wrap boundaries (native/test_flatmap.cpp)."""
+    import os, subprocess
+    src = os.path.join(os.path.dirname(__file__), "..", "evstore_tpu",
+                       "native", "test_flatmap.cpp")
+    exe = str(tmp_path / "flatmap_t")
+    r = subprocess.run(["g++", "-std=c++17", "-g", "-O1",
+                        "-fsanitize=address,undefined", "-o", exe, src,
+                        "-pthread"], capture_output=True, text=True,
+                       timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = subprocess.run([exe], capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, (r.stdout[-500:], r.stderr[-2000:])
+    assert "FLATMAP-OK" in r.stdout
+    assert "runtime error:" not in r.stderr

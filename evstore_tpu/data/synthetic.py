@@ -36,6 +36,13 @@ class RandomDataConfig:
     rand_data_mu: float = -1.0        # reference --rand-data-* flags
     rand_data_sigma: float = 1.0
     dense_dist: str = "uniform"       # uniform | gaussian
+    # multi-hot bags (reference --num-indices-per-lookup[-fixed],
+    # dlrm_data_pytorch.py:1062-1120): L > 1 makes random_batches yield
+    # (dense, idx[B,T,L], bag_weights[B,T,L], labels) with per-(sample,
+    # table) bag sizes drawn from U[1, L] (or exactly L when fixed) and
+    # 0-weight padding
+    num_indices_per_lookup: int = 1
+    num_indices_per_lookup_fixed: bool = False
 
 
 def _sample_indices(rng: np.random.Generator, n: int, size: int,
@@ -73,6 +80,7 @@ def random_batches(cfg: RandomDataConfig) -> Iterator[Batch]:
                 while np.gcd(p, s) != 1:
                     p += 2
                 perms.append(("mul", p))
+    L = max(int(cfg.num_indices_per_lookup), 1)
     for _ in range(cfg.num_batches):
         if cfg.dense_dist == "gaussian":
             dense = rng.normal(cfg.rand_data_mu, cfg.rand_data_sigma,
@@ -80,18 +88,28 @@ def random_batches(cfg: RandomDataConfig) -> Iterator[Batch]:
             dense = np.abs(dense)
         else:
             dense = rng.random((cfg.batch_size, cfg.num_dense))
-        idx = np.empty((cfg.batch_size, len(sizes)), dtype=np.int32)
+        idx = np.empty((cfg.batch_size, len(sizes), L), dtype=np.int32)
         for t, s in enumerate(sizes):
-            raw = _sample_indices(rng, cfg.batch_size, s, cfg)
+            raw = _sample_indices(rng, cfg.batch_size * L, s, cfg)
             if perms is not None:
                 kind, p = perms[t]
                 if kind == "perm":
                     raw = p[np.minimum(raw, s - 1)]
                 else:
                     raw = (raw * p) % s
-            idx[:, t] = raw.astype(np.int32)
+            idx[:, t, :] = raw.astype(np.int32).reshape(cfg.batch_size, L)
         labels = rng.integers(0, 2, cfg.batch_size).astype(np.float32)
-        yield dense.astype(np.float32), idx, labels
+        if L == 1:
+            yield dense.astype(np.float32), idx[:, :, 0], labels
+            continue
+        # variable bag sizes U[1, L] (fixed -> exactly L), 0-weight padding
+        if cfg.num_indices_per_lookup_fixed:
+            bag_w = np.ones((cfg.batch_size, len(sizes), L), np.float32)
+        else:
+            sz = rng.integers(1, L + 1, (cfg.batch_size, len(sizes)))
+            bag_w = (np.arange(L)[None, None, :] < sz[..., None]
+                     ).astype(np.float32)
+        yield dense.astype(np.float32), idx, bag_w, labels
 
 
 def trace_profile(trace: Sequence[int], max_unique: Optional[int] = None):

@@ -43,6 +43,7 @@ def run_training(cfg: DLRMConfig, tcfg: TrainConfig,
                  mesh=None,
                  dedup_exchange: bool = False,
                  alltoall_impl: str = "psum",
+                 multihot: bool = False,
                  log_fn=print) -> TrainResult:
     """Full training run.  make_*_batches are zero-arg callables returning a
     fresh batch iterator (epochs re-iterate).  With `mesh` (a 2D
@@ -70,6 +71,11 @@ def run_training(cfg: DLRMConfig, tcfg: TrainConfig,
             log_fn(f"resumed from checkpoint step {s}")
 
     sync_params = lambda p: p   # butterfly mode reconstructs on demand
+    if multihot and mesh is not None and alltoall_impl in ("butterfly",
+                                                           "alltoall"):
+        raise ValueError("multi-hot bags are supported on the psum "
+                         "(row-sharded) exchange and single-device paths; "
+                         "use --alltoall-impl psum")
     if mesh is not None and alltoall_impl in ("butterfly", "alltoall"):
         from jax.sharding import Mesh as _Mesh
         from evstore_tpu.parallel.butterfly import (
@@ -108,9 +114,11 @@ def run_training(cfg: DLRMConfig, tcfg: TrainConfig,
         params, opt_state, _, _ = shard_dlrm_params(params, mesh, opt_state)
         step_fn = make_sharded_train_step(
             cfg, tcfg, mesh, tcfg.batch_size,
-            dedup_exchange=dedup_exchange)(params, opt_state)
+            dedup_exchange=dedup_exchange, multihot=multihot)(params,
+                                                              opt_state)
         eval_step = (make_sharded_eval_step(
-            cfg, mesh, dedup_exchange=dedup_exchange)(params)
+            cfg, mesh, dedup_exchange=dedup_exchange,
+            multihot=multihot)(params)
             if make_test_batches else None)
     else:
         step_fn = jax.jit(make_train_step(cfg, tcfg), donate_argnums=(0, 1))
@@ -124,15 +132,20 @@ def run_training(cfg: DLRMConfig, tcfg: TrainConfig,
     mll.event("run_start")
     t0 = time.perf_counter()
     n_since = 0
+    from evstore_tpu.train.train_loop import unpack_batch
     for epoch in range(tcfg.nepochs):
         mll.event("epoch_start", {"epoch": epoch})
-        for dense_x, idx, y in make_train_batches():
+        for batch in make_train_batches():
+            dense_x, idx, y, bw = unpack_batch(batch)
             step += 1
             if step <= start_step:
                 continue   # skip-upto fast-forward (dlrm_s_pytorch.py:1605)
-            params, opt_state, loss = step_fn(
-                params, opt_state, jnp.asarray(dense_x), jnp.asarray(idx),
-                jnp.asarray(y))
+            args = (jnp.asarray(dense_x), jnp.asarray(idx), jnp.asarray(y))
+            if bw is not None:
+                params, opt_state, loss = step_fn(params, opt_state, *args,
+                                                  jnp.asarray(bw))
+            else:
+                params, opt_state, loss = step_fn(params, opt_state, *args)
             n_since += 1
             if step % max(tcfg.print_freq, 1) == 0:
                 jax.block_until_ready(loss)

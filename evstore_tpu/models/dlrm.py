@@ -106,25 +106,31 @@ def top_mlp(dense_params: Dict, z: jnp.ndarray, cfg: DLRMConfig) -> jnp.ndarray:
 
 def dlrm_forward(params: DLRMParams, dense_x: jnp.ndarray, idx: jnp.ndarray,
                  cfg: DLRMConfig,
-                 emb_rows: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 emb_rows: Optional[jnp.ndarray] = None,
+                 bag_weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Returns logits [B].
 
     dense_x: [B, num_dense] fp32 (already log1p-transformed, data_utils.py
-    semantics); idx: [B, T] int32; emb_rows: optional pre-fetched [B, T, D]
-    rows (cache tier / sharded exchange output) that bypass the local lookup.
+    semantics); idx: [B, T] int32 one-hot or [B, T, L] multi-hot bags
+    (sum-pooled, optional bag_weights [B, T, L] ≙ EmbeddingBag
+    per_sample_weights, dlrm_s_pytorch.py:407-459); emb_rows: optional
+    pre-fetched [B, T, D] rows (cache tier / sharded exchange output) that
+    bypass the local lookup.
     """
     x = bottom_mlp(params.dense, dense_x, cfg)
     if emb_rows is None:
-        emb_rows = sparse_arch_lookup(params.sparse, idx, cfg)
+        emb_rows = sparse_arch_lookup(params.sparse, idx, cfg, bag_weights)
     ly = emb_rows.astype(x.dtype)
     z = interact(x, ly, cfg)
     return top_mlp(params.dense, z, cfg)
 
 
-def predict(params: DLRMParams, dense_x, idx, cfg, emb_rows=None) -> jnp.ndarray:
+def predict(params: DLRMParams, dense_x, idx, cfg, emb_rows=None,
+            bag_weights=None) -> jnp.ndarray:
     """Click probability in [0,1], with the reference's loss_threshold clamp
     (dlrm_s_pytorch.py:605-611)."""
-    p = jax.nn.sigmoid(dlrm_forward(params, dense_x, idx, cfg, emb_rows))
+    p = jax.nn.sigmoid(dlrm_forward(params, dense_x, idx, cfg, emb_rows,
+                                    bag_weights))
     if cfg.loss_threshold > 0.0:
         p = jnp.clip(p, cfg.loss_threshold, 1.0 - cfg.loss_threshold)
     return p

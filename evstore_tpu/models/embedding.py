@@ -37,16 +37,35 @@ def init_embedding_tables(key: jax.Array, table_sizes: Sequence[int],
     return tables
 
 
+def pool_bags(rows: jnp.ndarray, weights: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Sum-pool a multi-hot bag: rows [B, L, D] (+ optional weights [B, L])
+    -> [B, D].  This is torch.nn.EmbeddingBag(mode="sum",
+    per_sample_weights=w) re-expressed with a STATIC max bag size L —
+    variable-length bags pad with index 0 / weight 0 (exact for sum pooling)
+    instead of torch's ragged offsets, keeping shapes XLA-static
+    (reference: dlrm_s_pytorch.py:407-459 apply_emb)."""
+    if weights is not None:
+        rows = rows * weights[..., None].astype(rows.dtype)
+    return rows.sum(axis=1)
+
+
 def embedding_lookup(tables: Dict[str, jnp.ndarray], idx: jnp.ndarray,
-                     compute_dtype=None) -> jnp.ndarray:
-    """idx: [B, T] int32 row ids -> [B, T, D] rows.
+                     compute_dtype=None,
+                     bag_weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """idx: [B, T] (one-hot) or [B, T, L] (multi-hot bags, sum-pooled with
+    optional bag_weights [B, T, L]) -> [B, T, D] rows.
 
     One gather per table (tables have uneven row counts).  XLA fuses the
     per-table gathers; for the sharded/cached paths see parallel/ and cache/.
     """
+    multi = idx.ndim == 3
     outs = []
     for t in range(idx.shape[1]):
-        rows = jnp.take(tables[f"table_{t}"], idx[:, t], axis=0)
+        ids = idx[:, t]
+        rows = jnp.take(tables[f"table_{t}"], ids, axis=0)
+        if multi:
+            rows = pool_bags(rows, None if bag_weights is None
+                             else bag_weights[:, t])
         outs.append(rows)
     out = jnp.stack(outs, axis=1)
     if compute_dtype is not None:
@@ -163,22 +182,35 @@ def init_sparse_arch(key: jax.Array, cfg) -> Dict[str, dict]:
     return params
 
 
-def sparse_arch_lookup(params: Dict[str, dict], idx: jnp.ndarray, cfg) -> jnp.ndarray:
-    """idx [B, T] -> [B, T, D] honoring per-table qr/md/plain kinds."""
+def sparse_arch_lookup(params: Dict[str, dict], idx: jnp.ndarray, cfg,
+                       bag_weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """idx [B, T] (or [B, T, L] multi-hot with optional bag_weights
+    [B, T, L]) -> [B, T, D] honoring per-table qr/md/plain kinds.  Multi-hot
+    bags are sum-pooled like torch EmbeddingBag(mode="sum") with offsets
+    (dlrm_s_pytorch.py:407-459); see pool_bags."""
+    multi = idx.ndim == 3
     outs = []
     for t in range(idx.shape[1]):
         p = params[f"table_{t}"]
+        ids = idx[:, t]
+        flat = ids.reshape(-1) if multi else ids
         if "kind_qr" in p:
-            rows = qr_lookup(p["kind_qr"], idx[:, t], cfg.qr_collisions, cfg.qr_operation)
+            rows = qr_lookup(p["kind_qr"], flat, cfg.qr_collisions, cfg.qr_operation)
         elif "kind_md" in p:
-            rows = md_lookup(p["kind_md"], idx[:, t])
+            rows = md_lookup(p["kind_md"], flat)
         else:
             if getattr(cfg, "use_pallas_gather", False):
                 from evstore_tpu.ops.pallas_gather import gather_rows_grad
-                rows = gather_rows_grad(p["kind_plain"], idx[:, t])
+                rows = gather_rows_grad(p["kind_plain"], flat)
             else:
-                rows = jnp.take(p["kind_plain"], idx[:, t], axis=0)
+                rows = jnp.take(p["kind_plain"], flat, axis=0)
             if "pool_w" in p:
-                rows = rows * jnp.take(p["pool_w"], idx[:, t], axis=0)
+                # per-row pooling weights v_W ≙ per_sample_weights
+                # (dlrm_s_pytorch.py:284-293,446-453)
+                rows = rows * jnp.take(p["pool_w"], flat, axis=0)
+        if multi:
+            rows = pool_bags(rows.reshape(ids.shape[0], ids.shape[1], -1),
+                             None if bag_weights is None
+                             else bag_weights[:, t])
         outs.append(rows)
     return jnp.stack(outs, axis=1)

@@ -127,10 +127,18 @@ def _local_masked_gather(local_table: jnp.ndarray, idx: jnp.ndarray,
 
 def _sharded_lookup(plain_local: Dict, fact: Dict, idx: jnp.ndarray,
                     plain_rows_in: Dict, cfg: DLRMConfig,
-                    pool_w: Dict = None, inv: Dict = None) -> jnp.ndarray:
+                    pool_w: Dict = None, inv: Dict = None,
+                    bag_weights: jnp.ndarray = None) -> jnp.ndarray:
+    """Post-exchange assembly of [Bl, T, D].  idx may be [Bl, T] or
+    [Bl, T, L] (multi-hot); exchanged plain rows arrive FLAT ([Bl*L, D] or
+    unique) and are sum-pooled here — pooling commutes with the psum
+    exchange, so bags need no protocol change."""
+    multi = idx.ndim == 3
     rows = []
     for t in range(cfg.num_tables):
         name = f"table_{t}"
+        ids = idx[:, t]
+        flat = ids.reshape(-1) if multi else ids
         if name in plain_rows_in:
             r = plain_rows_in[name]
             if inv and name in inv:
@@ -138,10 +146,14 @@ def _sharded_lookup(plain_local: Dict, fact: Dict, idx: jnp.ndarray,
                 r = jnp.take(r, inv[name], axis=0)
             if pool_w and name in pool_w:
                 # pooling weights are replicated; apply post-exchange
-                r = r * jnp.take(pool_w[name], idx[:, t], axis=0)
-            rows.append(r)
+                r = r * jnp.take(pool_w[name], flat, axis=0)
         else:
-            rows.append(_rows_for_table(name, fact, {}, idx[:, t], cfg))
+            r = _rows_for_table(name, fact, {}, flat, cfg)
+        if multi:
+            from evstore_tpu.models.embedding import pool_bags
+            r = pool_bags(r.reshape(ids.shape[0], ids.shape[1], -1),
+                          None if bag_weights is None else bag_weights[:, t])
+        rows.append(r)
     return jnp.stack(rows, axis=1)
 
 
@@ -157,7 +169,8 @@ def _dedup_unique(idx_col: jnp.ndarray, n_rows_global: int):
 
 
 def make_sharded_train_step(cfg: DLRMConfig, tcfg: TrainConfig, mesh: Mesh,
-                            global_batch: int, dedup_exchange: bool = False):
+                            global_batch: int, dedup_exchange: bool = False,
+                            multihot: bool = False):
     """Returns a jitted SPMD train step over global (sharded) arrays:
     (params, opt_state, dense_x[B], idx[B,T], labels[B]) ->
     (params, opt_state, loss).
@@ -165,7 +178,12 @@ def make_sharded_train_step(cfg: DLRMConfig, tcfg: TrainConfig, mesh: Mesh,
     dedup_exchange=True ships min(Bl, n_rows) UNIQUE rows per table through
     the psum exchange instead of Bl duplicated rows, expanding to per-sample
     rows after the collective.  The backward pass then all-gathers coalesced
-    unique-row grads over the data axis (smaller than per-sample grads)."""
+    unique-row grads over the data axis (smaller than per-sample grads).
+
+    multihot=True adds a trailing bag_weights[B, T, L] arg and takes
+    idx[B, T, L]: each of the B*L looked-up rows rides the same exchange
+    (sum-pooling commutes with psum), ≙ the reference's EmbeddingBag bags
+    through its all-to-all (dlrm_s_pytorch.py:407-459 + :564-570)."""
     opt_init, dense_update, sparse_update = make_optimizer(tcfg.optimizer)
     lr_fn = lr_schedule(tcfg.learning_rate, tcfg.lr_num_warmup_steps,
                         tcfg.lr_decay_start_step, tcfg.lr_num_decay_steps)
@@ -173,12 +191,18 @@ def make_sharded_train_step(cfg: DLRMConfig, tcfg: TrainConfig, mesh: Mesh,
     n_model = mesh.shape[MODEL_AXIS]
 
     def local_step(params: DLRMParams, opt_state: OptState,
-                   dense_x, idx, labels):
-        # shapes here are per-device: dense_x [Bl, nd], idx [Bl, T]
+                   dense_x, idx, labels, bag_weights=None):
+        # shapes here are per-device: dense_x [Bl, nd], idx [Bl, T(, L)]
+        L = idx.shape[2] if multihot else 1
+
+        def flat_ids(t):
+            col = idx[:, t]
+            return col.reshape(-1) if multihot else col
+
         plain_local, fact = _split_sparse(params.sparse)
 
         # --- forward-visible lookup: masked local gather + psum exchange ---
-        inv_map = {}           # table -> [Bl] positions into its unique rows
+        inv_map = {}           # table -> [Bl*L] positions into unique rows
         uniq_map = {}          # table -> [U] unique global row ids
 
         def gather_rows(plain_tabs):
@@ -186,13 +210,13 @@ def make_sharded_train_step(cfg: DLRMConfig, tcfg: TrainConfig, mesh: Mesh,
             for name, tab in plain_tabs.items():
                 t = int(name.split("_")[1])
                 if dedup_exchange:
-                    uniq, inv = _dedup_unique(idx[:, t],
+                    uniq, inv = _dedup_unique(flat_ids(t),
                                               tab.shape[0] * n_model)
                     uniq_map[name], inv_map[name] = uniq, inv
                     parts[name] = _local_masked_gather(tab, uniq,
                                                        tab.shape[0])
                 else:
-                    parts[name] = _local_masked_gather(tab, idx[:, t],
+                    parts[name] = _local_masked_gather(tab, flat_ids(t),
                                                        tab.shape[0])
             # one fused collective for all tables (vs 26 tiny ones)
             return jax.lax.psum(parts, MODEL_AXIS)
@@ -202,7 +226,8 @@ def make_sharded_train_step(cfg: DLRMConfig, tcfg: TrainConfig, mesh: Mesh,
         def loss_fn(dense_params, fact_params, plain_rows_in):
             emb = _sharded_lookup(plain_local, fact_params, idx,
                                   plain_rows_in, cfg,
-                                  _pool_weights(params.sparse), inv_map)
+                                  _pool_weights(params.sparse), inv_map,
+                                  bag_weights)
             logits = dlrm_forward(DLRMParams(dense_params, params.sparse),
                                   dense_x, idx, cfg, emb_rows=emb)
             return dlrm_loss(logits, labels, tcfg.loss_function,
@@ -228,6 +253,7 @@ def make_sharded_train_step(cfg: DLRMConfig, tcfg: TrainConfig, mesh: Mesh,
         # every data-replica of a table shard must apply the identical update:
         # all-gather (idx, row-grad) over the data axis, then dedup + scatter.
         new_plain, new_sstate = {}, {}
+        global_rows = global_batch * L   # all looked-up rows across bags
         for name, tab in plain_local.items():
             t = int(name.split("_")[1])
             if dedup_exchange:
@@ -236,8 +262,8 @@ def make_sharded_train_step(cfg: DLRMConfig, tcfg: TrainConfig, mesh: Mesh,
                 ids_local = uniq_map[name]
                 n_uniq = n_data * ids_local.shape[0]
             else:
-                ids_local = idx[:, t]
-                n_uniq = global_batch
+                ids_local = flat_ids(t)
+                n_uniq = global_rows
             g_full = jax.lax.all_gather(g_rows[name], DATA_AXIS, tiled=True)
             idx_full = jax.lax.all_gather(ids_local, DATA_AXIS, tiled=True)
             # grads of the mean over local batch -> scale to global mean
@@ -248,7 +274,7 @@ def make_sharded_train_step(cfg: DLRMConfig, tcfg: TrainConfig, mesh: Mesh,
             pos = idx_full - shard * n_local
             pos = jnp.where((pos >= 0) & (pos < n_local), pos, PAD_ROW)
             uniq, summed, valid = dedup_rows(pos, g_full, min(n_uniq,
-                                                              global_batch))
+                                                              global_rows))
             # out-of-shard rows collapse into the single PAD_ROW unique entry,
             # which the scatter drops.
             st = opt_state.sparse.get(name) if opt_state.sparse else None
@@ -270,9 +296,12 @@ def make_sharded_train_step(cfg: DLRMConfig, tcfg: TrainConfig, mesh: Mesh,
         pspec = _params_specs(params)
         ospec = _opt_specs(opt_state, pspec)
         data_spec = P(DATA_AXIS)
+        in_specs = (pspec, ospec, data_spec, data_spec, data_spec)
+        if multihot:
+            in_specs = in_specs + (data_spec,)
         shard_fn = jax.shard_map(
             local_step, mesh=mesh,
-            in_specs=(pspec, ospec, data_spec, data_spec, data_spec),
+            in_specs=in_specs,
             out_specs=(pspec, ospec, P()),
             check_vma=False)
         return jax.jit(shard_fn, donate_argnums=(0, 1))
@@ -281,33 +310,42 @@ def make_sharded_train_step(cfg: DLRMConfig, tcfg: TrainConfig, mesh: Mesh,
 
 
 def make_sharded_eval_step(cfg: DLRMConfig, mesh: Mesh,
-                           dedup_exchange: bool = False):
+                           dedup_exchange: bool = False,
+                           multihot: bool = False):
     """Sharded inference: same exchange, no updates. Returns probabilities."""
     n_model = mesh.shape[MODEL_AXIS]
 
-    def local_fwd(params: DLRMParams, dense_x, idx):
+    def local_fwd(params: DLRMParams, dense_x, idx, bag_weights=None):
+        def flat_ids(t):
+            col = idx[:, t]
+            return col.reshape(-1) if multihot else col
+
         plain_local, fact = _split_sparse(params.sparse)
         parts, inv_map = {}, {}
         for name, tab in plain_local.items():
             t = int(name.split("_")[1])
             if dedup_exchange:
-                uniq, inv = _dedup_unique(idx[:, t], tab.shape[0] * n_model)
+                uniq, inv = _dedup_unique(flat_ids(t), tab.shape[0] * n_model)
                 inv_map[name] = inv
                 parts[name] = _local_masked_gather(tab, uniq, tab.shape[0])
             else:
-                parts[name] = _local_masked_gather(tab, idx[:, t],
+                parts[name] = _local_masked_gather(tab, flat_ids(t),
                                                    tab.shape[0])
         plain_rows = jax.lax.psum(parts, MODEL_AXIS)
         emb = _sharded_lookup(plain_local, fact, idx, plain_rows, cfg,
-                              _pool_weights(params.sparse), inv_map)
+                              _pool_weights(params.sparse), inv_map,
+                              bag_weights)
         logits = dlrm_forward(params, dense_x, idx, cfg, emb_rows=emb)
         return jax.nn.sigmoid(logits)
 
     def build(params: DLRMParams):
         pspec = _params_specs(params)
+        in_specs = (pspec, P(DATA_AXIS), P(DATA_AXIS))
+        if multihot:
+            in_specs = in_specs + (P(DATA_AXIS),)
         shard_fn = jax.shard_map(
             local_fwd, mesh=mesh,
-            in_specs=(pspec, P(DATA_AXIS), P(DATA_AXIS)),
+            in_specs=in_specs,
             out_specs=P(DATA_AXIS),
             check_vma=False)
         return jax.jit(shard_fn)

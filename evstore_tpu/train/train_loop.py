@@ -68,8 +68,13 @@ def _rows_for_table(name: str, fact: Dict, plain_rows: Dict, idx_t, cfg):
 
 def make_train_step(cfg: DLRMConfig, tcfg: TrainConfig):
     """Builds the jitted train step.  Returned signature:
-    (params, opt_state, dense_x[B,nd], idx[B,T], labels[B]) ->
-    (params, opt_state, loss).
+    (params, opt_state, dense_x[B,nd], idx[B,T], labels[B],
+     bag_weights=None) -> (params, opt_state, loss).
+
+    idx may be [B, T, L] for multi-hot bags (sum-pooled, optional
+    bag_weights [B, T, L] ≙ EmbeddingBag per_sample_weights,
+    dlrm_s_pytorch.py:407-459); row grads then coalesce over all B*L
+    looked-up rows.
     """
     opt_init, dense_update, sparse_update = make_optimizer(tcfg.optimizer)
     lr_fn = lr_schedule(tcfg.learning_rate, tcfg.lr_num_warmup_steps,
@@ -78,7 +83,13 @@ def make_train_step(cfg: DLRMConfig, tcfg: TrainConfig):
     learned_pool = cfg.weighted_pooling == "learned"
 
     def train_step(params: DLRMParams, opt_state: OptState,
-                   dense_x, idx, labels):
+                   dense_x, idx, labels, bag_weights=None):
+        multi = idx.ndim == 3
+
+        def flat_ids(t):
+            col = idx[:, t]
+            return col.reshape(-1) if multi else col
+
         plain, fact = _split_sparse(params.sparse)
         pool_w = _pool_weights(params.sparse)
         # gather rows for plain tables (the only autodiff entry point into
@@ -88,9 +99,10 @@ def make_train_step(cfg: DLRMConfig, tcfg: TrainConfig):
         # program; scripts/ab_pallas_gather.py) while winning 1.43x in the
         # eval-only program, so cfg.use_pallas_gather applies to inference
         # paths (models/embedding.py) only.
-        plain_rows = {name: jnp.take(tab, idx[:, int(name.split("_")[1])], axis=0)
+        plain_rows = {name: jnp.take(tab, flat_ids(int(name.split("_")[1])),
+                                     axis=0)
                       for name, tab in plain.items()}
-        w_rows = {name: jnp.take(w, idx[:, int(name.split("_")[1])], axis=0)
+        w_rows = {name: jnp.take(w, flat_ids(int(name.split("_")[1])), axis=0)
                   for name, w in pool_w.items()}
 
         def loss_fn(dense_params, fact_params, plain_rows_in, w_rows_in):
@@ -98,9 +110,14 @@ def make_train_step(cfg: DLRMConfig, tcfg: TrainConfig):
             for t in range(cfg.num_tables):
                 name = f"table_{t}"
                 r = _rows_for_table(name, fact_params, plain_rows_in,
-                                    idx[:, t], cfg)
+                                    flat_ids(t), cfg)
                 if name in w_rows_in:
                     r = r * w_rows_in[name]
+                if multi:
+                    from evstore_tpu.models.embedding import pool_bags
+                    r = pool_bags(r.reshape(idx.shape[0], idx.shape[2], -1),
+                                  None if bag_weights is None
+                                  else bag_weights[:, t])
                 rows.append(r)
             emb = jnp.stack(rows, axis=1)
             logits = dlrm_forward(DLRMParams(dense_params, params.sparse),
@@ -122,12 +139,13 @@ def make_train_step(cfg: DLRMConfig, tcfg: TrainConfig):
         new_dense = new_dense_like["mlp"]
         new_fact = new_dense_like["fact"]
 
-        # plain tables: row-wise sparse updates
-        B = idx.shape[0]
+        # plain tables: row-wise sparse updates (over all B*L looked-up rows
+        # in the multi-hot case)
+        B = idx.shape[0] * (idx.shape[2] if multi else 1)
         new_plain, new_sstate = {}, {}
         for name, tab in plain.items():
             t = int(name.split("_")[1])
-            uniq, summed, valid = dedup_rows(idx[:, t], g_rows[name], B)
+            uniq, summed, valid = dedup_rows(flat_ids(t), g_rows[name], B)
             st = opt_state.sparse.get(name) if opt_state.sparse else None
             new_st, new_tab = sparse_update(st, tab, uniq, summed, valid, lr)
             new_plain[name] = new_tab
@@ -139,7 +157,7 @@ def make_train_step(cfg: DLRMConfig, tcfg: TrainConfig):
         if learned_pool:
             for name, w in pool_w.items():
                 t = int(name.split("_")[1])
-                uniq, summed, valid = dedup_rows(idx[:, t], g_w[name], B)
+                uniq, summed, valid = dedup_rows(flat_ids(t), g_w[name], B)
                 st = (opt_state.sparse.get(name + "__pool_w")
                       if opt_state.sparse else None)
                 new_st, new_w = sparse_update(st, w, uniq, summed, valid, lr)
@@ -171,10 +189,22 @@ def init_opt_state(params: DLRMParams, tcfg: TrainConfig) -> OptState:
     return st
 
 
+def unpack_batch(batch):
+    """Normalize a data batch to (dense, idx, labels, bag_weights).
+    3-tuples are one-hot (dense, idx, y); 4-tuples are multi-hot
+    (dense, idx[B,T,L], bag_weights[B,T,L], y)."""
+    if len(batch) == 4:
+        d, i, w, y = batch
+        return d, i, y, w
+    d, i, y = batch
+    return d, i, y, None
+
+
 def make_eval_step(cfg: DLRMConfig):
     @jax.jit
-    def eval_step(params: DLRMParams, dense_x, idx):
-        logits = dlrm_forward(params, dense_x, idx, cfg)
+    def eval_step(params: DLRMParams, dense_x, idx, bag_weights=None):
+        logits = dlrm_forward(params, dense_x, idx, cfg,
+                              bag_weights=bag_weights)
         return jax.nn.sigmoid(logits)
     return eval_step
 
@@ -186,8 +216,13 @@ def evaluate(params: DLRMParams, cfg: DLRMConfig,
     if eval_step is None:
         eval_step = make_eval_step(cfg)
     scores, labels = [], []
-    for dense_x, idx, y in batches:
-        s = eval_step(params, jnp.asarray(dense_x), jnp.asarray(idx))
+    for batch in batches:
+        dense_x, idx, y, bw = unpack_batch(batch)
+        if bw is None:
+            s = eval_step(params, jnp.asarray(dense_x), jnp.asarray(idx))
+        else:
+            s = eval_step(params, jnp.asarray(dense_x), jnp.asarray(idx),
+                          jnp.asarray(bw))
         scores.append(np.asarray(s))
         labels.append(np.asarray(y))
     return binary_metrics(np.concatenate(scores), np.concatenate(labels))
@@ -204,10 +239,16 @@ def train(params: DLRMParams, cfg: DLRMConfig, tcfg: TrainConfig,
     losses = []
     t0 = time.perf_counter()
     n = 0
-    for dense_x, idx, y in train_batches:
-        params, opt_state, loss = step_fn(
-            params, opt_state, jnp.asarray(dense_x), jnp.asarray(idx),
-            jnp.asarray(y))
+    for batch in train_batches:
+        dense_x, idx, y, bw = unpack_batch(batch)
+        if bw is None:
+            params, opt_state, loss = step_fn(
+                params, opt_state, jnp.asarray(dense_x), jnp.asarray(idx),
+                jnp.asarray(y))
+        else:
+            params, opt_state, loss = step_fn(
+                params, opt_state, jnp.asarray(dense_x), jnp.asarray(idx),
+                jnp.asarray(y), jnp.asarray(bw))
         n += 1
         if n % max(tcfg.print_freq, 1) == 0:
             lv = float(loss)

@@ -95,34 +95,75 @@ def make_optimizer(name: str, eps: float = 1e-10):
         return new_state, new_params
 
     def sparse_row_update(row_state, table, rows_idx, row_grads, valid, lr):
-        """Scatter update touching only `rows_idx` (one entry per unique row
+        """Row update touching only `rows_idx` (one entry per unique row
         in the batch).  Padding entries carry rows_idx == INT32_MAX (see
         PAD_ROW): genuinely out-of-bounds for any table, so mode="drop"
         discards their writes (note: negative indices WRAP in XLA scatter,
         they are not dropped — never use -1 as the padding sentinel); `valid`
-        also masks their contribution defensively."""
+        also masks their contribution defensively.
+
+        The apply goes through `scatter_rows_add`, which picks (statically)
+        between a real scatter and a bandwidth-bound dense pass — XLA's TPU
+        row scatter serializes per update (~135 ns/row into an HBM-resident
+        [1M, 36] operand, measured on v5e) while a full-table gather-add
+        pass runs at HBM bandwidth."""
         g = row_grads.astype(jnp.float32) * valid[:, None]
         if name == "sgd":
-            new_table = table.at[rows_idx].add((-lr * g).astype(table.dtype),
-                                               mode="drop")
+            new_table = scatter_rows_add(table, rows_idx, -lr * g)
             return row_state, new_table
         if name == "adagrad":
             # elementwise accumulator rows
             acc_rows = row_state.at[rows_idx].get(mode="fill", fill_value=0.0) + g * g
-            new_state = row_state.at[rows_idx].set(acc_rows, mode="drop")
+            new_state = scatter_rows_add(row_state, rows_idx, g * g)
             upd = -lr * g / (jnp.sqrt(acc_rows) + eps)
-            new_table = table.at[rows_idx].add(upd.astype(table.dtype), mode="drop")
+            new_table = scatter_rows_add(table, rows_idx, upd)
             return new_state, new_table
         # rwsadagrad: scalar accumulator per row = mean over dim of grad^2
         mom_inc = jnp.mean(g * g, axis=1) * valid
         mom_rows = row_state.at[rows_idx].get(mode="fill", fill_value=0.0) + mom_inc
-        new_state = row_state.at[rows_idx].set(mom_rows, mode="drop")
+        new_state = scatter_rows_add(row_state, rows_idx, mom_inc)
         std = jnp.sqrt(mom_rows) + eps
         upd = -lr * g / std[:, None]
-        new_table = table.at[rows_idx].add(upd.astype(table.dtype), mode="drop")
+        new_table = scatter_rows_add(table, rows_idx, upd)
         return new_state, new_table
 
     return init, dense_update, sparse_row_update
+
+
+def scatter_rows_add(table: jnp.ndarray, rows_idx: jnp.ndarray,
+                     upd: jnp.ndarray) -> jnp.ndarray:
+    """table[rows_idx] += upd with UNIQUE indices (PAD_ROW entries dropped),
+    choosing the implementation statically by shape:
+
+    - XLA's TPU scatter serializes row updates into HBM (~135 ns/row for
+      [N=1M, D=36] fp32, measured on v5e regardless of unique/sorted flags),
+      costing U * t_row.
+    - A dense pass — build a [N] position map with a cheap D=1 scatter
+      (~0.1 ms for 32k ids), then `table + take(upd_padded, pos)` — rewrites
+      the whole table at HBM bandwidth, costing 2*N*rowbytes/BW, and XLA
+      fuses the gather into the add.
+
+    Crossover at N ≈ 256*U for D=36 on v5e (t_row*BW/rowbytes ≈ 135e-9 *
+    560e9 / 288 ≈ 262), so small/medium tables take the dense pass and
+    terabyte-scale tables keep the scatter.  Identical math either way
+    (duplicate-free adds), so this is purely a lowering choice."""
+    n = table.shape[0]
+    u = rows_idx.shape[0]
+    if upd.ndim == 1:
+        upd2, tab2 = upd[:, None], table[:, None]
+    else:
+        upd2, tab2 = upd, table
+    if n <= u * 256:
+        pos = jnp.full((n,), u, jnp.int32).at[rows_idx].set(
+            jnp.arange(u, dtype=jnp.int32), mode="drop")
+        upd_pad = jnp.concatenate(
+            [upd2.astype(jnp.float32),
+             jnp.zeros((1, upd2.shape[1]), jnp.float32)])
+        out = (tab2 + jnp.take(upd_pad, pos, axis=0)).astype(table.dtype)
+    else:
+        out = tab2.at[rows_idx].add(upd2.astype(table.dtype), mode="drop",
+                                    unique_indices=False)
+    return out[:, 0] if upd.ndim == 1 else out
 
 
 # Padding sentinel for row indices: out-of-bounds for every table, so

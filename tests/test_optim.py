@@ -89,10 +89,42 @@ def test_pad_row_never_wraps():
 
 
 def test_sgd_sparse_update():
+    """Contract: rows_idx is UNIQUE (one entry per row, from dedup_rows) —
+    duplicates would double-apply under adagrad state math and are no longer
+    supported by the dense-pass lowering (optim.scatter_rows_add)."""
     _, _, sparse_update = make_optimizer("sgd")
     table = jnp.zeros((4, 2))
-    rows_idx = jnp.asarray([1, 1], jnp.int32)  # duplicate write -> adds
-    g = jnp.asarray([[1., 1.], [1., 1.]])
+    rows_idx = jnp.asarray([1, 3], jnp.int32)
+    g = jnp.asarray([[2., 2.], [1., 1.]])
     valid = jnp.asarray([1., 1.])
     _, new_tab = sparse_update(None, table, rows_idx, g, valid, 1.0)
     np.testing.assert_allclose(np.asarray(new_tab)[1], [-2., -2.])
+    np.testing.assert_allclose(np.asarray(new_tab)[3], [-1., -1.])
+    np.testing.assert_allclose(np.asarray(new_tab)[0], [0., 0.])
+
+
+def test_scatter_rows_add_dense_and_scatter_paths_agree():
+    """The static dense-pass vs scatter lowering choice must be invisible:
+    same result for a table on both sides of the N <= 256*U crossover."""
+    from evstore_tpu.train.optim import scatter_rows_add
+    rng = np.random.default_rng(0)
+    u = 8
+    ids = np.asarray([3, 7, 11, 200, PAD_ROW, PAD_ROW, 0, 150], np.int32)
+    upd = rng.normal(size=(u, 4)).astype(np.float32)
+    upd[4:6] = 0.0
+    small = jnp.asarray(rng.normal(size=(256, 4)).astype(np.float32))   # dense
+    big = jnp.concatenate([small,
+                           jnp.zeros((u * 256 + 1 - 256, 4))])          # scatter
+    out_small = np.asarray(scatter_rows_add(small, jnp.asarray(ids),
+                                            jnp.asarray(upd)))
+    out_big = np.asarray(scatter_rows_add(big, jnp.asarray(ids),
+                                          jnp.asarray(upd)))
+    np.testing.assert_allclose(out_small, out_big[:256], rtol=1e-6)
+    np.testing.assert_allclose(out_small[3], np.asarray(small)[3] + upd[0],
+                               rtol=1e-6)
+    # 1-D (row-wise momentum) variant
+    mom = jnp.zeros((256,))
+    out = np.asarray(scatter_rows_add(mom, jnp.asarray(ids),
+                                      jnp.asarray(upd[:, 0])))
+    np.testing.assert_allclose(out[7], upd[1, 0], rtol=1e-6)
+    assert out[1] == 0.0

@@ -138,6 +138,25 @@ class CriteoDataset:
         return cls(z["X_int"], z["X_cat"], z["y"], z["counts"],
                    z["day_offsets"], max_ind_range)
 
+    @classmethod
+    def from_stream(cls, meta_path: str, max_ind_range: int = 0
+                    ) -> "CriteoDataset":
+        """Memmap-backed view over a preprocess_criteo_streaming output:
+        the packed .bin is mapped, X_int/X_cat/y are zero-copy views, and
+        batches() only materializes one batch at a time — terabyte datasets
+        train with bounded RSS (≙ the reference's per-day mmap npz mode,
+        dlrm_data_pytorch.py memory_map)."""
+        z = np.load(meta_path)
+        bin_path = str(z["bin_path"])
+        if not os.path.isabs(bin_path) and not os.path.exists(bin_path):
+            bin_path = os.path.join(os.path.dirname(meta_path),
+                                    os.path.basename(bin_path))
+        mm = np.memmap(bin_path, dtype=np.int32, mode="r")
+        assert mm.shape[0] % RECORD_INTS == 0
+        rec = mm.reshape(-1, RECORD_INTS)
+        return cls(rec[:, 1:1 + NUM_DENSE], rec[:, 1 + NUM_DENSE:],
+                   rec[:, 0], z["counts"], z["day_offsets"], max_ind_range)
+
     @property
     def table_sizes(self) -> Tuple[int, ...]:
         if self.max_ind_range > 0:
@@ -186,6 +205,163 @@ class CriteoDataset:
         if fraction < 1.0:
             n = max(1, int(n * fraction))
         return -(-n // batch_size)
+
+
+# --------------------------------------- streaming (terabyte) preprocessing
+
+class _StreamingDicts:
+    """Per-table raw->contiguous-id dictionaries built incrementally from
+    sorted chunk uniques, ≙ convertDicts merged day by day
+    (data_utils.py:112 processCriteoAdData; ids are assigned in
+    sorted-within-batch, batch-order across batches — the reference's
+    per-day np.unique merge, here per chunk).  Stored as parallel sorted
+    numpy arrays (12 B/key) instead of Python dicts (~100 B/key), so
+    terabyte-scale vocabularies fit where the reference needs a big-RAM
+    node."""
+
+    def __init__(self, n_tables: int = NUM_SPARSE):
+        self.keys = [np.empty(0, np.int64) for _ in range(n_tables)]   # sorted
+        self.ids = [np.empty(0, np.int32) for _ in range(n_tables)]    # aligned
+
+    def absorb(self, t: int, col: np.ndarray) -> None:
+        u = np.unique(col)
+        pos = np.searchsorted(self.keys[t], u)
+        found = np.zeros(len(u), bool)
+        in_range = pos < len(self.keys[t])
+        found[in_range] = self.keys[t][pos[in_range]] == u[in_range]
+        new = u[~found]
+        if len(new) == 0:
+            return
+        start = len(self.keys[t])
+        new_ids = np.arange(start, start + len(new), dtype=np.int32)
+        ins = np.searchsorted(self.keys[t], new)
+        self.keys[t] = np.insert(self.keys[t], ins, new)
+        self.ids[t] = np.insert(self.ids[t], ins, new_ids)
+
+    def map(self, t: int, col: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(self.keys[t], col)
+        return self.ids[t][pos]
+
+    @property
+    def counts(self) -> np.ndarray:
+        return np.asarray([len(k) for k in self.keys], np.int32)
+
+
+def _chunks_of(path: str, chunk_rows: int):
+    """Yield (labels, dense, cats) chunks, native parser when available."""
+    try:
+        from evstore_tpu.native import parse_criteo_tsv_chunks
+        yield from parse_criteo_tsv_chunks(path, chunk_rows)
+        return
+    except FileNotFoundError:
+        raise
+    except Exception:
+        pass
+    # pure-Python fallback: line-buffered chunking
+    labels, dense, cats = [], [], []
+    with open(path) as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) != 1 + NUM_DENSE + NUM_SPARSE:
+                continue
+            labels.append(int(parts[0]))
+            d = np.zeros(NUM_DENSE, np.int64)
+            for i, v in enumerate(parts[1:1 + NUM_DENSE]):
+                if v:
+                    x = int(v)
+                    d[i] = x if x > 0 else 0
+            dense.append(d)
+            c = np.zeros(NUM_SPARSE, np.int64)
+            for i, v in enumerate(parts[1 + NUM_DENSE:]):
+                c[i] = int(v, 16) if v else 0
+            cats.append(c)
+            if len(labels) == chunk_rows:
+                yield (np.asarray(labels, np.int32), np.stack(dense),
+                       np.stack(cats))
+                labels, dense, cats = [], [], []
+    if labels:
+        yield (np.asarray(labels, np.int32), np.stack(dense), np.stack(cats))
+
+
+def preprocess_criteo_streaming(inputs, out_dir: str, days: int = 7,
+                                sub_sample_rate: float = 0.0, seed: int = 123,
+                                dataset_name: str = "kaggle",
+                                chunk_rows: int = 1_000_000) -> str:
+    """Terabyte-scale preprocessing with BOUNDED memory.
+
+    ≙ data_utils.py getCriteoAdData(:876) + processCriteoAdData(:112) +
+    concatCriteoAdData(:172), re-designed for streaming: two passes over the
+    input in `chunk_rows` slices — pass 1 builds the per-table dictionaries
+    (sorted-unique merge, see _StreamingDicts), pass 2 maps ids, applies the
+    label-balanced subsample (keep if rand < rate or label == 1,
+    data_utils.py:947-966), and APPENDS packed int32 records
+    [label, 13 dense, 26 sparse] straight to the combined .bin — no
+    full-dataset array ever exists in RAM.  RSS is O(chunk + dictionaries).
+
+    inputs: one TSV path (split into `days` row-slices, Kaggle style) or a
+    list of per-day paths (Terabyte `day_*` style).  Returns the path of a
+    meta .npz holding {bin_path, counts, day_offsets}; load with
+    CriteoDataset.from_stream for memmap-backed day-split batches.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    paths = [inputs] if isinstance(inputs, str) else list(inputs)
+    dicts = _StreamingDicts()
+
+    # pass 1: dictionaries + row count
+    n_total = 0
+    for p in paths:
+        for labels, _, cats in _chunks_of(p, chunk_rows):
+            n_total += len(labels)
+            for t in range(NUM_SPARSE):
+                dicts.absorb(t, cats[:, t])
+    if n_total == 0:
+        raise ValueError(f"no parseable rows in {paths}")
+
+    # day boundaries: per-file for multi-file input, row-sliced otherwise
+    if len(paths) > 1:
+        days = len(paths)
+        per_day = None
+    else:
+        per_day = n_total // days
+
+    bin_path = os.path.join(out_dir, f"{dataset_name}_stream.bin")
+    rng = np.random.default_rng(seed)
+    day_counts = np.zeros(days, np.int64)
+    row = 0
+    with open(bin_path, "wb") as out:
+        for fi, p in enumerate(paths):
+            for labels, dense, cats in _chunks_of(p, chunk_rows):
+                n = len(labels)
+                keep = np.ones(n, bool)
+                if sub_sample_rate > 0.0:
+                    keep = (rng.random(n) < sub_sample_rate) | (labels == 1)
+                rec = np.empty((n, RECORD_INTS), np.int32)
+                rec[:, 0] = labels
+                rec[:, 1:1 + NUM_DENSE] = dense
+                for t in range(NUM_SPARSE):
+                    rec[:, 1 + NUM_DENSE + t] = dicts.map(t, cats[:, t])
+                if per_day is None:
+                    day = fi
+                    rec[keep].tofile(out)
+                    day_counts[day] += int(keep.sum())
+                else:
+                    # row-sliced days may straddle a chunk
+                    d_lo = min(row // per_day, days - 1)
+                    d_hi = min((row + n - 1) // per_day, days - 1)
+                    for d in range(d_lo, d_hi + 1):
+                        lo = max(d * per_day, row) - row
+                        hi = (n if d == days - 1
+                              else min((d + 1) * per_day, row + n) - row)
+                        m = keep[lo:hi]
+                        rec[lo:hi][m].tofile(out)
+                        day_counts[d] += int(m.sum())
+                row += n
+
+    meta_path = os.path.join(out_dir, f"{dataset_name}_stream_meta.npz")
+    np.savez(meta_path, bin_path=np.asarray(bin_path),
+             counts=dicts.counts,
+             day_offsets=np.concatenate([[0], np.cumsum(day_counts)]))
+    return meta_path
 
 
 # ------------------------------------------------ binary (terabyte) format

@@ -28,7 +28,8 @@ def _load_lib():
         ctypes.c_long, ctypes.c_long, ctypes.c_long,
         ctypes.c_int, ctypes.c_int,
         ctypes.c_float, ctypes.c_float,
-        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int]
     lib.esv_load_table_mem.restype = ctypes.c_int
     lib.esv_load_table_mem.argtypes = [
         ctypes.c_void_p, ctypes.c_int,
@@ -117,6 +118,9 @@ def get_lib():
 
 
 _EVICTION = {"fifo": 1, "recency": 2}  # aprx_embedding.hpp:32
+# C1 policy at engine speed (the reference runs its LFU/LRU baselines only
+# at Python speed, cache_algo/LFU.py:69 / LRU.py:38)
+_POLICY = {"evlfu": 0, "lfu": 1, "lru": 2}
 
 
 def parse_criteo_tsv_native(path: str):
@@ -144,6 +148,37 @@ def parse_criteo_tsv_native(path: str):
     return labels[:n], dense[:n], cats[:n]
 
 
+def parse_criteo_tsv_chunks(path: str, chunk_rows: int = 1_000_000):
+    """Generator of (labels, dense, cats) numpy chunks with bounded memory
+    (native chunked parser; streaming ≙ the reference's per-day processing,
+    data_utils.py:876)."""
+    lib = get_lib()
+    if not hasattr(lib, "_tsv_chunk_bound"):
+        lib.esv_parse_criteo_tsv_chunk.restype = ctypes.c_long
+        lib.esv_parse_criteo_tsv_chunk.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_long,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.POINTER(ctypes.c_long)]
+        lib._tsv_chunk_bound = True
+    offset = ctypes.c_long(0)
+    labels = np.empty(chunk_rows, np.int32)
+    dense = np.empty((chunk_rows, 13), np.int64)
+    cats = np.empty((chunk_rows, 26), np.int64)
+    while True:
+        n = lib.esv_parse_criteo_tsv_chunk(
+            path.encode(), offset.value, chunk_rows, labels,
+            dense.reshape(-1), cats.reshape(-1), ctypes.byref(offset))
+        if n < 0:
+            raise FileNotFoundError(path)
+        if n == 0:
+            return
+        yield labels[:n].copy(), dense[:n].copy(), cats[:n].copy()
+        if n < chunk_rows:
+            return
+
+
 class NativeTieredCache:
     """Drop-in for cache.tiers.TieredCache backed by the C++ engine."""
 
@@ -159,7 +194,12 @@ class NativeTieredCache:
             cfg.main_precision, cfg.secondary_precision,
             cfg.flush_rate, cfg.perfect_item_cap,
             cfg.high_agghit_threshold, _EVICTION[cfg.c3_eviction],
-            cfg.c3_io_batch, n_reader_threads)
+            cfg.c3_io_batch, n_reader_threads,
+            _POLICY.get(cfg.policy, 0))
+        if not self._h:
+            raise ValueError(
+                f"esv_init rejected config: n_tables={n_tables} (max 64), "
+                f"dim={dim} — see evstore_core.cpp kMaxTables")
         self._lib = lib
 
     def load_tables(self, tables: Sequence[np.ndarray]):
@@ -204,7 +244,9 @@ class NativeTieredCache:
         idx = np.ascontiguousarray(idx, np.int64)
         B = idx.shape[0]
         out = np.empty((B, self.n_tables, self.dim), np.float32)
-        self._lib.esv_lookup_batch(self._h, idx, B, out)
+        rc = self._lib.esv_lookup_batch(self._h, idx, B, out)
+        if rc == -2:
+            raise ValueError("esv_lookup_batch: row id out of [0, 2^40)")
         return out
 
     def request(self, group_row_ids):
@@ -254,6 +296,8 @@ class NativeAssigner:
         self._lib = engine._lib
         self._h = self._lib.esv_assign_init(
             engine._h, self.capacity, flush_rate, perfect_item_cap)
+        if not self._h:
+            raise ValueError("esv_assign_init rejected engine config")
         engine._assign_h = self._h     # engine owns teardown
 
     def assign_batch(self, idx: np.ndarray):
@@ -270,6 +314,8 @@ class NativeAssigner:
         n_buf = self._lib.esv_assign_batch(
             self._h, idx.reshape(-1), B, slots.reshape(-1), scat_slots,
             scat_m, buf.reshape(-1), maxM, ctypes.byref(n_scat))
+        if n_buf == -2:
+            raise ValueError("esv_assign_batch: row id out of [0, 2^40)")
         if n_buf < 0:
             raise RuntimeError("esv_assign_batch: buffer overflow")
         return (slots, scat_slots[:n_scat.value], scat_m[:n_scat.value],
@@ -297,6 +343,9 @@ class NativeAssigner:
             scat_m, buf.reshape(-1), maxM, ctypes.byref(n_scat),
             ev_keys, ev_slots, len(ev_keys), ctypes.byref(n_ev),
             upd.reshape(-1))
+        if n_buf == -2:
+            raise ValueError(
+                "esv_assign_batch_train: row id out of [0, 2^40)")
         if n_buf < 0:
             raise RuntimeError("esv_assign_batch_train: buffer overflow")
         ne = n_ev.value

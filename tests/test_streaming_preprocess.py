@@ -1,0 +1,141 @@
+"""Terabyte-scale streaming preprocessing with bounded memory.
+
+Reference semantics target: data_utils.py getCriteoAdData(:876) /
+processCriteoAdData(:112) / concatCriteoAdData(:172) — day splits,
+categorical dictionaries merged in stream order, label-balanced subsample.
+The golden check is against the in-RAM path (data/criteo.preprocess_criteo):
+same counts and a BIJECTIVE per-table id relabeling (the streaming path
+assigns ids by sorted-within-chunk order, the in-RAM path by first-seen row
+order — both are valid contiguous-id dictionaries).
+"""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+from evstore_tpu.data.criteo import (CriteoDataset, NUM_DENSE, NUM_SPARSE,
+                                     RECORD_INTS, make_synthetic_criteo_txt,
+                                     preprocess_criteo,
+                                     preprocess_criteo_streaming)
+
+
+def _bin_records(meta_path):
+    z = np.load(meta_path)
+    mm = np.fromfile(str(z["bin_path"]), dtype=np.int32)
+    return mm.reshape(-1, RECORD_INTS), z
+
+
+def test_streaming_matches_inram(tmp_path):
+    txt = make_synthetic_criteo_txt(str(tmp_path / "train.txt"), n=5000,
+                                    seed=3, vocab=400)
+    inram = preprocess_criteo(txt, str(tmp_path / "a"), days=4)
+    meta = preprocess_criteo_streaming(txt, str(tmp_path / "b"), days=4,
+                                       chunk_rows=257)
+    za = np.load(inram)
+    rec, zb = _bin_records(meta)
+
+    np.testing.assert_array_equal(np.sort(za["counts"]),
+                                  np.sort(zb["counts"]))
+    np.testing.assert_array_equal(za["counts"], zb["counts"])
+    np.testing.assert_array_equal(za["day_offsets"], zb["day_offsets"])
+    np.testing.assert_array_equal(za["y"], rec[:, 0])
+    np.testing.assert_array_equal(za["X_int"], rec[:, 1:1 + NUM_DENSE])
+    # ids differ by a per-table bijective relabeling only
+    for t in range(NUM_SPARSE):
+        a = za["X_cat"][:, t]
+        b = rec[:, 1 + NUM_DENSE + t]
+        fwd = {}
+        for x, y in zip(a.tolist(), b.tolist()):
+            assert fwd.setdefault(x, y) == y, f"table {t}: not functional"
+        assert len(set(fwd.values())) == len(fwd), f"table {t}: not injective"
+        assert max(fwd.values()) < za["counts"][t]
+
+
+def test_streaming_subsample_keeps_positives(tmp_path):
+    txt = make_synthetic_criteo_txt(str(tmp_path / "train.txt"), n=3000,
+                                    seed=5)
+    meta = preprocess_criteo_streaming(txt, str(tmp_path / "s"), days=2,
+                                       sub_sample_rate=0.25, chunk_rows=500)
+    rec, z = _bin_records(meta)
+    full = preprocess_criteo_streaming(txt, str(tmp_path / "f"), days=2,
+                                       chunk_rows=500)
+    rec_full, _ = _bin_records(full)
+    n_pos_full = int((rec_full[:, 0] == 1).sum())
+    assert int((rec[:, 0] == 1).sum()) == n_pos_full   # all positives kept
+    n_neg_full = int((rec_full[:, 0] == 0).sum())
+    n_neg = int((rec[:, 0] == 0).sum())
+    assert n_neg < 0.5 * n_neg_full                    # negatives thinned
+    assert z["day_offsets"][-1] == len(rec)
+
+
+def test_streaming_multiday_files(tmp_path):
+    """Terabyte layout: one file per day (input/readme.txt day_*)."""
+    paths = [make_synthetic_criteo_txt(str(tmp_path / f"day_{d}"),
+                                       n=400 + 100 * d, seed=d)
+             for d in range(3)]
+    meta = preprocess_criteo_streaming(paths, str(tmp_path / "o"),
+                                       chunk_rows=128)
+    rec, z = _bin_records(meta)
+    np.testing.assert_array_equal(z["day_offsets"], [0, 400, 900, 1500])
+    ds = CriteoDataset.from_stream(meta)
+    (tr, te, va) = ds.splits()
+    assert tr == (0, 900)           # train = all days but last
+    assert te == (900, 1200)        # last day halved test/val
+    assert va == (1200, 1500)
+    batches = list(ds.batches("train", 128, drop_last=True))
+    assert len(batches) == 900 // 128
+    for dense, idx, y in batches:
+        assert dense.dtype == np.float32 and idx.dtype == np.int32
+        for t in range(NUM_SPARSE):
+            assert idx[:, t].max() < z["counts"][t]
+
+
+def test_streaming_bounded_memory(tmp_path):
+    """The whole pipeline (parse -> dicts -> map -> pack) runs a ~20 MB TSV
+    under a 700 MB address-space cap with tiny chunks.  RSS is
+    O(chunk_rows + dictionaries), independent of file size — the property
+    the in-RAM path lacks (VERDICT round-1 item 2)."""
+    if sys.platform != "linux":
+        pytest.skip("RLIMIT_AS test is linux-only")
+    txt = make_synthetic_criteo_txt(str(tmp_path / "big.txt"), n=100_000,
+                                    seed=7, vocab=5000)
+    script = textwrap.dedent(f"""
+        import resource, sys
+        resource.setrlimit(resource.RLIMIT_AS,
+                           (700 * 1024 * 1024, 700 * 1024 * 1024))
+        sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+        from evstore_tpu.data.criteo import preprocess_criteo_streaming
+        meta = preprocess_criteo_streaming({txt!r}, {str(tmp_path / 'out')!r},
+                                           days=4, chunk_rows=4096)
+        print("META", meta)
+    """)
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    env["PYTHONPATH"] = ""
+    r = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                       text=True, timeout=300, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    meta = r.stdout.strip().split("META ")[-1]
+    rec, z = _bin_records(meta)
+    assert len(rec) == 100_000
+    assert (z["counts"] > 0).all()
+
+
+def test_native_chunk_parser_matches_whole_file(tmp_path):
+    import shutil
+    if shutil.which("g++") is None:
+        pytest.skip("no g++")
+    from evstore_tpu.native import (parse_criteo_tsv_chunks,
+                                    parse_criteo_tsv_native)
+    txt = make_synthetic_criteo_txt(str(tmp_path / "t.txt"), n=1234, seed=9)
+    l0, d0, c0 = parse_criteo_tsv_native(txt)
+    chunks = list(parse_criteo_tsv_chunks(txt, chunk_rows=100))
+    l1 = np.concatenate([c[0] for c in chunks])
+    d1 = np.concatenate([c[1] for c in chunks])
+    c1 = np.concatenate([c[2] for c in chunks])
+    np.testing.assert_array_equal(l0, l1)
+    np.testing.assert_array_equal(d0, d1)
+    np.testing.assert_array_equal(c0, c1)

@@ -74,7 +74,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--processed-data-file", type=str, default="")
     p.add_argument("--max-ind-range", type=int, default=-1)
     p.add_argument("--data-sub-sample-rate", type=float, default=0.0)
-    p.add_argument("--num-indices-per-lookup", type=int, default=1)
+    p.add_argument("--num-indices-per-lookup", type=int, default=1,
+                   help="max multi-hot bag size L (>1 -> EmbeddingBag-style "
+                        "pooled lookups, dlrm_data_pytorch.py:1062-1120)")
+    p.add_argument("--num-indices-per-lookup-fixed", type=_str_bool,
+                   default=False)
     p.add_argument("--memory-map", action="store_true")
     p.add_argument("--mlperf-bin-loader", action="store_true")
     p.add_argument("--percent-data-for-inference", type=float, default=1.0)
@@ -200,9 +204,48 @@ def configs_from_args(args) -> tuple:
 def _make_data(args, cfg):
     from evstore_tpu.data.synthetic import RandomDataConfig, random_batches
     if args.data_generation == "dataset":
-        from evstore_tpu.data.criteo import CriteoDataset
-        ds = CriteoDataset.load(args.processed_data_file,
-                                max(args.max_ind_range, 0))
+        import os
+        from evstore_tpu.data.criteo import (CriteoBinDataset, CriteoDataset,
+                                             preprocess_criteo,
+                                             preprocess_criteo_streaming)
+        if args.mlperf_bin_loader:
+            # packed int32 records (≙ script/data_loader_terabyte.py
+            # CriteoBinDataset under --mlperf-bin-loader,
+            # dlrm_s_pytorch.py:1164-1192)
+            ds = CriteoBinDataset(args.processed_data_file,
+                                  batch_size=args.mini_batch_size,
+                                  max_ind_range=max(args.max_ind_range, 0))
+            n_test = args.nbatches_test or max(
+                1, int(len(ds) * args.percent_data_for_inference))
+
+            def test_iter():
+                for k, b in enumerate(ds):
+                    if k >= n_test:
+                        break
+                    yield b
+
+            return (lambda: iter(ds), test_iter)
+        pf = args.processed_data_file
+        if args.raw_data_file and not (pf and os.path.exists(pf)):
+            # preprocessing on demand from the raw TSV (≙ CriteoDataset's
+            # lazy getCriteoAdData call, dlrm_data_pytorch.py:53-120);
+            # --memory-map selects the bounded-RSS streaming pipeline whose
+            # output is consumed via memmap
+            out_dir = os.path.join(args.output_dir, "processed")
+            if args.memory_map:
+                pf = preprocess_criteo_streaming(
+                    args.raw_data_file, out_dir, days=7,
+                    sub_sample_rate=args.data_sub_sample_rate,
+                    seed=args.numpy_rand_seed, dataset_name=args.data_set)
+            else:
+                pf = preprocess_criteo(
+                    args.raw_data_file, out_dir, days=7,
+                    sub_sample_rate=args.data_sub_sample_rate,
+                    seed=args.numpy_rand_seed, dataset_name=args.data_set)
+        if pf.endswith("_stream_meta.npz"):
+            ds = CriteoDataset.from_stream(pf, max(args.max_ind_range, 0))
+        else:
+            ds = CriteoDataset.load(pf, max(args.max_ind_range, 0))
         return (lambda: ds.batches("train", args.mini_batch_size,
                                    drop_last=True),
                 lambda: ds.batches("test", args.mini_batch_size,
@@ -214,7 +257,10 @@ def _make_data(args, cfg):
         num_dense=cfg.num_dense_features, table_sizes=cfg.table_sizes,
         batch_size=args.mini_batch_size, num_batches=nb,
         seed=args.numpy_rand_seed, distribution=dist,
-        rand_data_mu=args.rand_data_mu, rand_data_sigma=args.rand_data_sigma)
+        rand_data_mu=args.rand_data_mu, rand_data_sigma=args.rand_data_sigma,
+        num_indices_per_lookup=args.num_indices_per_lookup,
+        num_indices_per_lookup_fixed=getattr(
+            args, "num_indices_per_lookup_fixed", False))
     import dataclasses as _dc
     test_d = _dc.replace(dcfg, num_batches=max(args.nbatches_test, 10),
                          seed=args.numpy_rand_seed + 1)
@@ -231,7 +277,23 @@ def main(argv: Optional[List[str]] = None) -> int:
     except Exception:
         pass
     args = build_parser().parse_args(argv)
+    if args.enable_profiling:
+        # device trace around the whole run (≙ torch.autograd.profiler
+        # around the main loop, dlrm_s_pytorch.py:1567-1569,1880-1890)
+        from evstore_tpu.utils.profiling import profile_trace
+        with profile_trace(os.path.join(args.output_dir, "profile")):
+            return _run(args)
+    return _run(args)
+
+
+def _run(args) -> int:
+    import os
+    import jax
     cfg, tcfg, ccfg = configs_from_args(args)
+    if args.mlperf_logging:
+        from evstore_tpu.utils.logging import MLPerfLogger
+        MLPerfLogger().submission_metadata(
+            platform=jax.devices()[0].device_kind.replace(" ", "-"))
     make_train, make_test = _make_data(args, cfg)
 
     if not args.inference_only:
@@ -245,6 +307,11 @@ def main(argv: Optional[List[str]] = None) -> int:
             # HBM-bounded training through the cache tier (the reference
             # FORBIDS training with EVStore, dlrm_s_pytorch_C1.py:1321-1323
             # — here it is a first-class mode)
+            if args.num_indices_per_lookup > 1:
+                print("error: --use-evstore requires bag size 1 (the tier "
+                      "protocol is groupability-keyed on one row per table, "
+                      "like the reference's Criteo drivers)", file=sys.stderr)
+                return 2
             from evstore_tpu.drivers.train import run_cached_training
             res = run_cached_training(
                 cfg, tcfg, ccfg, make_train,
@@ -262,7 +329,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             ev_export_dir=(args.ev_table_path or None),
             resume=bool(args.load_model), seed=args.numpy_rand_seed,
             mesh=mesh, dedup_exchange=args.dedup_exchange,
-            alltoall_impl=args.alltoall_impl)
+            alltoall_impl=args.alltoall_impl,
+            multihot=args.num_indices_per_lookup > 1)
         print(f"training done: steps={res.steps} best={res.best_metric:.4f}")
         return 0
 

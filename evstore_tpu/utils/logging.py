@@ -25,22 +25,38 @@ class MLPerfLogger:
               value=None) -> None:
         if not self.enabled:
             return
+        # mllog event-type inference: *_start / *_stop keys are interval
+        # markers (mlperf_logging mllog constants, used by
+        # mlperf_logger.py:51-77 start/end/event helpers)
+        if key.endswith("_start"):
+            etype = "INTERVAL_START"
+        elif key.endswith("_stop"):
+            etype = "INTERVAL_END"
+        else:
+            etype = "POINT_IN_TIME"
         payload = {
             "namespace": self.benchmark,
             "time_ms": int(time.time() * 1000),
-            "event_type": "POINT_IN_TIME",
+            "event_type": etype,
             "key": key,
             "value": value,
             "metadata": metadata or {},
         }
         self.log_fn(":::MLLOG " + json.dumps(payload, default=float))
 
-    def submission_metadata(self, platform: str = "tpu-v5e") -> None:
-        """Submission block (mlperf_logger.py:80-118)."""
+    def submission_metadata(self, platform: str = "tpu-v5e",
+                            org: str = "evstore_tpu",
+                            division: str = "closed",
+                            status: str = "onprem") -> None:
+        """Submission block (mlperf_logger.py:80-118: benchmark, org,
+        division, status, platform, poc placeholders)."""
         for k, v in {
             "submission_benchmark": self.benchmark,
-            "submission_division": "closed",
-            "submission_status": "onprem",
+            "submission_org": org,
+            "submission_division": division,
+            "submission_status": status,
             "submission_platform": platform,
+            "submission_entry": {"framework": "jax/xla",
+                                 "hardware": platform},
         }.items():
             self.event(k, value=v)

@@ -113,11 +113,16 @@ def test_mlperf_logger_format():
     import json
     d = json.loads(lines[0][len(":::MLLOG "):])
     assert d["key"] == "run_start" and d["metadata"] == {"epoch": 0}
-    assert len(lines) == 5
+    assert d["event_type"] == "INTERVAL_START"
+    # submission block: benchmark, org, division, status, platform, entry
+    # (mlperf_logger.py:80-118)
+    assert len(lines) == 7
+    keys = [json.loads(l[len(":::MLLOG "):])["key"] for l in lines[1:]]
+    assert "submission_org" in keys and "submission_platform" in keys
     # rank-gated silence
     mll2 = MLPerfLogger(log_fn=lines.append, rank=1)
     mll2.event("x")
-    assert len(lines) == 5
+    assert len(lines) == 7
 
 
 def test_quantized_inference(state):

@@ -141,3 +141,92 @@ def test_cli_cached_training_sharded(capsys):
                "--learning-rate 0.1 --optimizer rwsadagrad").split())
     assert rc == 0
     assert "training done" in capsys.readouterr().out
+
+
+ARCH = ("--arch-sparse-feature-size 4 --arch-embedding-size A "
+        "--arch-mlp-bot 13-8-4 --arch-mlp-top 14-1 "
+        "--mini-batch-size 32 --print-freq 4 --optimizer sgd "
+        "--learning-rate 0.1")
+
+
+def _dataset_argv(tmp_path, n=600, vocab=40):
+    """A synthetic raw TSV + its in-RAM preprocessing, with matching arch."""
+    from evstore_tpu.data.criteo import (make_synthetic_criteo_txt,
+                                         preprocess_criteo)
+    txt = make_synthetic_criteo_txt(str(tmp_path / "train.txt"), n=n,
+                                    seed=11, vocab=vocab)
+    npz = preprocess_criteo(txt, str(tmp_path / "proc"), days=3)
+    counts = np.load(npz)["counts"]
+    arch = ARCH.replace("A", "-".join(str(c) for c in counts))
+    return txt, npz, arch
+
+
+def test_cli_mlperf_bin_loader(capsys, tmp_path):
+    """--mlperf-bin-loader consumes packed int32 records
+    (≙ dlrm_s_pytorch.py:1164-1192)."""
+    from evstore_tpu.data.criteo import numpy_to_binary
+    _, npz, arch = _dataset_argv(tmp_path)
+    bin_path = numpy_to_binary(npz, str(tmp_path / "data.bin"))
+    rc = main((arch + " --data-generation dataset --mlperf-bin-loader "
+               f"--processed-data-file {bin_path} "
+               "--nbatches-test 2 --nepochs 1").split())
+    assert rc == 0
+    assert "training done" in capsys.readouterr().out
+
+
+def test_cli_raw_data_file_preprocesses_on_demand(capsys, tmp_path):
+    """--raw-data-file with no processed file triggers preprocessing
+    (≙ dlrm_data_pytorch.py:53-120)."""
+    from evstore_tpu.data.criteo import make_synthetic_criteo_txt
+    txt = make_synthetic_criteo_txt(str(tmp_path / "raw.txt"), n=600,
+                                    seed=11, vocab=40)
+    # counts are not known up front; use vocab-sized tables (>= real counts,
+    # ids stay in range because counts <= vocab)
+    arch = ARCH.replace("A", "-".join(["41"] * 26))
+    rc = main((arch + " --data-generation dataset "
+               f"--raw-data-file {txt} "
+               f"--output-dir {tmp_path / 'out'}").split())
+    assert rc == 0
+    assert "training done" in capsys.readouterr().out
+    import os
+    assert os.path.exists(tmp_path / "out" / "processed")
+
+
+def test_cli_memory_map_streaming(capsys, tmp_path):
+    """--memory-map routes through the streaming preprocessing + memmap
+    dataset (bounded RSS)."""
+    from evstore_tpu.data.criteo import make_synthetic_criteo_txt
+    txt = make_synthetic_criteo_txt(str(tmp_path / "raw.txt"), n=600,
+                                    seed=11, vocab=40)
+    arch = ARCH.replace("A", "-".join(["41"] * 26))
+    rc = main((arch + " --data-generation dataset --memory-map "
+               f"--raw-data-file {txt} "
+               f"--output-dir {tmp_path / 'out'}").split())
+    assert rc == 0
+    assert "training done" in capsys.readouterr().out
+    import glob
+    assert glob.glob(str(tmp_path / "out" / "processed" / "*_stream.bin"))
+
+
+def test_cli_enable_profiling(capsys, tmp_path):
+    """--enable-profiling captures a jax trace around the run
+    (≙ dlrm_s_pytorch.py:1567-1569)."""
+    rc = main(("--arch-sparse-feature-size 4 --arch-embedding-size 40-30 "
+               "--arch-mlp-bot 4-8-4 --arch-mlp-top 8-1 "
+               "--mini-batch-size 16 --num-batches 6 --print-freq 3 "
+               "--enable-profiling "
+               f"--output-dir {tmp_path / 'out'}").split())
+    assert rc == 0
+    import glob
+    assert glob.glob(str(tmp_path / "out" / "profile" / "**" / "*"),
+                     recursive=True), "no trace artifacts written"
+
+
+def test_cli_mlperf_logging(capsys):
+    rc = main(("--arch-sparse-feature-size 4 --arch-embedding-size 40-30 "
+               "--arch-mlp-bot 4-8-4 --arch-mlp-top 8-1 "
+               "--mini-batch-size 16 --num-batches 4 --print-freq 2 "
+               "--mlperf-logging").split())
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert ":::MLLOG" in out and "submission_platform" in out

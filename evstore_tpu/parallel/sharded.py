@@ -39,7 +39,8 @@ from evstore_tpu.models.dlrm import (DLRMParams, dlrm_forward, dlrm_loss)
 from evstore_tpu.models.embedding import md_lookup, qr_lookup
 from evstore_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, pad_rows_for_mesh
 from evstore_tpu.train.optim import (OptState, PAD_ROW, dedup_rows,
-                                     lr_schedule, make_optimizer)
+                                     lr_schedule, make_optimizer,
+                                     row_update)
 from evstore_tpu.train.train_loop import (_merge_sparse, _pool_weights,
                                           _rows_for_table, _split_sparse)
 
@@ -268,17 +269,15 @@ def make_sharded_train_step(cfg: DLRMConfig, tcfg: TrainConfig, mesh: Mesh,
             idx_full = jax.lax.all_gather(ids_local, DATA_AXIS, tiled=True)
             # grads of the mean over local batch -> scale to global mean
             g_full = g_full / n_data
-            # map to local row space; out-of-shard rows -> PAD_ROW (dropped)
+            # map to local row space; out-of-shard rows -> PAD_ROW (dropped
+            # by every row_update lowering)
             shard = jax.lax.axis_index(MODEL_AXIS)
             n_local = tab.shape[0]
             pos = idx_full - shard * n_local
             pos = jnp.where((pos >= 0) & (pos < n_local), pos, PAD_ROW)
-            uniq, summed, valid = dedup_rows(pos, g_full, min(n_uniq,
-                                                              global_rows))
-            # out-of-shard rows collapse into the single PAD_ROW unique entry,
-            # which the scatter drops.
             st = opt_state.sparse.get(name) if opt_state.sparse else None
-            new_st, new_tab = sparse_update(st, tab, uniq, summed, valid, lr)
+            new_st, new_tab = row_update(tcfg.optimizer, st, tab, pos,
+                                         g_full, lr)
             new_plain[name] = new_tab
             if new_st is not None:
                 new_sstate[name] = new_st

@@ -172,6 +172,64 @@ def scatter_rows_add(table: jnp.ndarray, rows_idx: jnp.ndarray,
 PAD_ROW = jnp.iinfo(jnp.int32).max
 
 
+# dense-grad lowering cutoff: above this the [N, D] zero+scatter-add grad
+# buffer costs more than the rep-trick's D=1 map (v5e-measured crossover)
+DENSE_GRAD_LIMIT_BYTES = 64 << 20
+
+
+def row_update(name: str, state, table: jnp.ndarray, ids: jnp.ndarray,
+               grads: jnp.ndarray, lr, eps: float = 1e-10):
+    """One-shot per-table sparse update: coalesce duplicate ids AND apply the
+    optimizer, choosing the lowering statically by table size (all measured
+    on v5e at B=32k, D=36):
+
+    - dense-grad (N*D*4 <= 64 MB): G = zeros[N,D].at[ids].add(grads) — the
+      dup-tolerant scatter-add is fast for VMEM-friendly operands — then
+      bandwidth-bound full passes apply the optimizer.  No sort, no unique.
+    - rep-trick (N <= 256*B): a D=1 scatter picks one representative
+      occurrence per distinct row; segment-sum over representatives
+      coalesces; a position map + full passes apply.  No sort.
+    - sort path (huge/terabyte tables): jnp.unique dedup + row scatter —
+      cost scales with B, not N.
+
+    ids may contain PAD_ROW entries (dropped) and duplicates (coalesced);
+    semantics identical across paths (exactness tests cross-check them).
+    state: None (sgd) | [N, D] (adagrad) | [N] (rwsadagrad).
+    """
+    name = name.lower()
+    n = table.shape[0]
+    b = ids.shape[0]
+    d = table.shape[1]
+    g = grads.astype(jnp.float32)
+
+    if n * d * 4 <= DENSE_GRAD_LIMIT_BYTES:
+        G = jnp.zeros((n, d), jnp.float32).at[ids].add(g, mode="drop")
+    elif n <= b * 256:
+        slot = jnp.full((n,), b, jnp.int32).at[ids].set(
+            jnp.arange(b, dtype=jnp.int32), mode="drop")
+        rep = slot.at[ids].get(mode="fill", fill_value=b)
+        Gc = jax.ops.segment_sum(g, rep, num_segments=b + 1)[:b]
+        g_pad = jnp.concatenate([Gc, jnp.zeros((1, d), jnp.float32)])
+        G = jnp.take(g_pad, jnp.minimum(slot, b), axis=0)
+    else:
+        uniq, summed, valid = dedup_rows(ids, g, b)
+        st, tab = make_optimizer(name, eps)[2](state, table, uniq, summed,
+                                               valid, lr)
+        return st, tab
+
+    # full-pass apply over the dense per-row grad G (0 for untouched rows)
+    if name == "sgd":
+        return state, (table.astype(jnp.float32) - lr * G).astype(table.dtype)
+    if name == "adagrad":
+        new_state = state + G * G
+        upd = lr * G / (jnp.sqrt(new_state) + eps)
+        return new_state, (table.astype(jnp.float32) - upd).astype(table.dtype)
+    # rwsadagrad: row-scalar accumulator; untouched rows get +0 and upd 0
+    new_state = state + jnp.mean(G * G, axis=1)
+    upd = lr * G / (jnp.sqrt(new_state) + eps)[:, None]
+    return new_state, (table.astype(jnp.float32) - upd).astype(table.dtype)
+
+
 def dedup_rows(idx: jnp.ndarray, grads: jnp.ndarray, num_unique: int
                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Coalesce duplicate row indices within a batch (the torch sparse-grad

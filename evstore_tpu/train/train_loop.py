@@ -27,7 +27,9 @@ from evstore_tpu.config import DLRMConfig, TrainConfig
 from evstore_tpu.models.dlrm import DLRMParams, dlrm_forward, dlrm_loss
 from evstore_tpu.models.embedding import md_lookup, qr_lookup
 from evstore_tpu.train.metrics import binary_metrics
-from evstore_tpu.train.optim import dedup_rows, lr_schedule, make_optimizer, OptState
+from evstore_tpu.train.optim import (dedup_rows, lr_schedule,
+                                     make_optimizer, row_update,
+                                     OptState)
 
 
 def _split_sparse(sparse: Dict) -> Tuple[Dict, Dict]:
@@ -139,15 +141,16 @@ def make_train_step(cfg: DLRMConfig, tcfg: TrainConfig):
         new_dense = new_dense_like["mlp"]
         new_fact = new_dense_like["fact"]
 
-        # plain tables: row-wise sparse updates (over all B*L looked-up rows
-        # in the multi-hot case)
-        B = idx.shape[0] * (idx.shape[2] if multi else 1)
+        # plain tables: one-shot coalesce+apply per table, lowering chosen
+        # statically by table size (optim.row_update) — XLA's row scatter
+        # serializes per update on TPU, so small/medium tables take
+        # bandwidth-bound dense passes instead
         new_plain, new_sstate = {}, {}
         for name, tab in plain.items():
             t = int(name.split("_")[1])
-            uniq, summed, valid = dedup_rows(flat_ids(t), g_rows[name], B)
             st = opt_state.sparse.get(name) if opt_state.sparse else None
-            new_st, new_tab = sparse_update(st, tab, uniq, summed, valid, lr)
+            new_st, new_tab = row_update(tcfg.optimizer, st, tab,
+                                         flat_ids(t), g_rows[name], lr)
             new_plain[name] = new_tab
             if new_st is not None:
                 new_sstate[name] = new_st
@@ -157,10 +160,10 @@ def make_train_step(cfg: DLRMConfig, tcfg: TrainConfig):
         if learned_pool:
             for name, w in pool_w.items():
                 t = int(name.split("_")[1])
-                uniq, summed, valid = dedup_rows(flat_ids(t), g_w[name], B)
                 st = (opt_state.sparse.get(name + "__pool_w")
                       if opt_state.sparse else None)
-                new_st, new_w = sparse_update(st, w, uniq, summed, valid, lr)
+                new_st, new_w = row_update(tcfg.optimizer, st, w,
+                                           flat_ids(t), g_w[name], lr)
                 new_pool[name] = new_w
                 if new_st is not None:
                     new_sstate[name + "__pool_w"] = new_st

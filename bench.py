@@ -524,7 +524,7 @@ def bench_tier_ablation(B=512, n_batches=60, total_size=24_000,
     return results
 
 
-def bench_cached_training(cfg, B=2048, n_steps=15, cache_rows=500_000):
+def bench_cached_training(cfg, B=2048, n_steps=24, cache_rows=500_000):
     """HBM-bounded training: full Kaggle-scale tables live in host DRAM;
     HBM holds only the C1 working set."""
     import shutil
@@ -552,22 +552,27 @@ def bench_cached_training(cfg, B=2048, n_steps=15, cache_rows=500_000):
     from evstore_tpu.data.synthetic import RandomDataConfig, random_batches
     dcfg = RandomDataConfig(num_dense=cfg.num_dense_features,
                             table_sizes=sizes, batch_size=B,
-                            num_batches=n_steps + 3, seed=4,
+                            num_batches=n_steps + 8, seed=4,
                             distribution="zipf", zipf_alpha=1.1)
     batches = list(random_batches(dcfg))
-    for k in range(3):   # warm the jit + cache
-        dense, dstate, loss = tc.train_batch(dense, dstate, k, *batches[k])
-    device_sync(loss)
-    t0 = time.perf_counter()
-    for k in range(3, 3 + n_steps):
-        dense, dstate, loss = tc.train_batch(dense, dstate, k, *batches[k])
+    # PIPELINED loop (train_batches): host work of batch k+1 overlaps the
+    # device step of batch k; write-backs ride one packed transfer
+    t0 = None
+    n = 0
+    for k, (dense, dstate, loss) in enumerate(
+            tc.train_batches(dense, dstate, batches)):
+        if k == 7:            # first batches absorb compiles / cold cache
+            device_sync(loss)
+            t0 = time.perf_counter()
+        elif k > 7:
+            n += B
     device_sync(loss)
     dt = time.perf_counter() - t0
     s = tc.stats()
     tc.close()
     total_rows = sum(sizes)
     return {
-        "examples_per_s": n_steps * B / dt,
+        "examples_per_s": n / dt,
         "hbm_mb": s["hbm_bytes"] / 1e6,
         "full_table_mb": total_rows * cfg.embedding_dim * 4 / 1e6,
         "hit_rate": s["hit_rate"],

@@ -270,11 +270,112 @@ class SqliteStore:
         self.conn.close()
 
 
+class LogKVStore:
+    """Write-optimized persistent KV store — the RocksDB-class backend
+    (emb_storage/storage_rocksdb.py:27-123: key per (table, row) -> raw row
+    bytes, bulk load at :68).  Implemented as a native log-structured store
+    (evstore_core.cpp esv_kv_*): append-only fixed-record log + in-RAM
+    hash index rebuilt by one sequential scan on open; point reads via
+    pread sorted by offset; updates append (LSM-style) and compact()
+    reclaims superseded space.  Unlike the read-only file/mmap backends
+    this supports WRITES, so trained rows can be persisted back."""
+
+    def __init__(self, db_path: str, table_sizes: Sequence[int], dim: int,
+                 precision: int = 32):
+        import ctypes
+        from evstore_tpu.native import get_lib
+        lib = get_lib()
+        if not hasattr(lib, "_kv_bound"):
+            lib.esv_kv_open.restype = ctypes.c_void_p
+            lib.esv_kv_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
+            lib.esv_kv_put_batch.restype = ctypes.c_int
+            lib.esv_kv_put_batch.argtypes = [
+                ctypes.c_void_p,
+                np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+                ctypes.c_long]
+            lib.esv_kv_get_batch.restype = ctypes.c_long
+            lib.esv_kv_get_batch.argtypes = lib.esv_kv_put_batch.argtypes
+            lib.esv_kv_count.restype = ctypes.c_long
+            lib.esv_kv_count.argtypes = [ctypes.c_void_p]
+            lib.esv_kv_compact.restype = ctypes.c_long
+            lib.esv_kv_compact.argtypes = [ctypes.c_void_p]
+            lib.esv_kv_close.argtypes = [ctypes.c_void_p]
+            lib._kv_bound = True
+        self._lib = lib
+        self.dim = dim
+        self.precision = precision
+        self.nb = row_nbytes(precision, dim)
+        self.table_sizes = list(table_sizes)
+        self._h = lib.esv_kv_open(db_path.encode(), self.nb)
+        if not self._h:
+            raise OSError(f"esv_kv_open({db_path}) failed")
+
+    @staticmethod
+    def _keys(tables: np.ndarray, rows: np.ndarray) -> np.ndarray:
+        return ((tables.astype(np.uint64) << np.uint64(40))
+                | rows.astype(np.uint64))
+
+    def put_rows(self, table: int, rows: np.ndarray, values: np.ndarray):
+        """values fp32 [K, dim]; encoded at the store precision."""
+        enc = encode_rows(np.asarray(values, np.float32), self.precision)
+        keys = self._keys(np.full(len(rows), table, np.int64),
+                          np.asarray(rows, np.int64))
+        rc = self._lib.esv_kv_put_batch(
+            self._h, np.ascontiguousarray(keys),
+            np.ascontiguousarray(enc).view(np.uint8).reshape(-1), len(rows))
+        if rc != 0:
+            raise OSError("esv_kv_put_batch failed")
+
+    def create_and_load(self, bin_dir: str, table_sizes: Sequence[int],
+                        chunk: int = 65536):
+        """Bulk load from per-table .bin EV files (storage_rocksdb.load:68),
+        streamed in chunks."""
+        for t, n in enumerate(table_sizes):
+            p = os.path.join(bin_dir, f"ev-table-{t + 1}.bin")
+            mm = np.memmap(p, np.uint8, mode="r").reshape(n, self.nb)
+            for s in range(0, n, chunk):
+                e = min(s + chunk, n)
+                keys = self._keys(np.full(e - s, t, np.int64),
+                                  np.arange(s, e, dtype=np.int64))
+                rc = self._lib.esv_kv_put_batch(
+                    self._h, np.ascontiguousarray(keys),
+                    np.ascontiguousarray(mm[s:e]).reshape(-1), e - s)
+                if rc != 0:
+                    raise OSError("esv_kv_put_batch failed")
+        return self
+
+    def get(self, table: int, row: int) -> np.ndarray:
+        return self.get_batch([(table, row)])[0]
+
+    def get_batch(self, keys: Sequence[Key]) -> np.ndarray:
+        ks = np.asarray(keys, np.int64).reshape(-1, 2)
+        packed = self._keys(ks[:, 0], ks[:, 1])
+        out = np.empty((len(ks), self.nb), np.uint8)
+        self._lib.esv_kv_get_batch(self._h, np.ascontiguousarray(packed),
+                                   out.reshape(-1), len(ks))
+        return _decode_rows(out, self.precision, self.dim)
+
+    def count(self) -> int:
+        return int(self._lib.esv_kv_count(self._h))
+
+    def compact(self) -> int:
+        r = int(self._lib.esv_kv_compact(self._h))
+        if r < 0:
+            raise OSError("esv_kv_compact failed")
+        return r
+
+    def close(self):
+        if self._h:
+            self._lib.esv_kv_close(self._h)
+            self._h = None
+
+
 class StorageManager:
     """Facade over the backends (emb_storage/storage_manager.py): backend
     selection, bulk load, cache-bypass request path, teardown."""
 
-    BACKENDS = ("dummy", "file", "mmap", "sqlite", "native")
+    BACKENDS = ("dummy", "file", "mmap", "sqlite", "logkv", "native")
 
     def __init__(self, backend: str = "dummy", precision: int = 32,
                  dim: int = 36):
@@ -305,6 +406,11 @@ class StorageManager:
             s = SqliteStore(db_path or os.path.join(bin_dir, "ev-table-all.db"),
                             table_sizes, self.dim, self.precision)
             s.create_and_load(bin_dir, table_sizes)
+        elif self.backend == "logkv":
+            s = LogKVStore(db_path or os.path.join(bin_dir, "ev-table-all.log"),
+                           table_sizes, self.dim, self.precision)
+            if s.count() == 0:     # fresh store: bulk load; else reopen as-is
+                s.create_and_load(bin_dir, table_sizes)
         else:
             raise ValueError(f"backend {self.backend} requires the native "
                              "engine (evstore_tpu.native)")

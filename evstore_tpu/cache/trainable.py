@@ -169,10 +169,13 @@ class TrainableDeviceCache:
     # ------------------------------------------------------------ jit step
 
     def _build_step(self):
+        return functools.partial(jax.jit, donate_argnums=(0, 1))(
+            self._build_raw_step())
+
+    def _build_raw_step(self):
         cfg, tcfg, eps = self.cfg, self.tcfg, self.eps
         C = self.capacity
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
         def step(cache, mom_c, dense_params, dstate, gather_idx, scat_slots,
                  scat_m, buf, buf_mom, dense_x, labels, lr, seed):
             """gather_idx [B, T] indexes concat-space [cache | buf]: the
@@ -243,6 +246,154 @@ class TrainableDeviceCache:
                     loss)
 
         return step
+
+    def _build_step_packed(self):
+        """Pipelined variant of the step: same math, but everything the host
+        needs afterwards comes back as ONE packed array [E + Mp, D+1] —
+        (post-update dying-cell rows | updated buffer rows) x (row | mom) —
+        so one device->host transfer replaces three (the dying-cell
+        snapshot, the buffer rows, and the buffer momenta)."""
+        base = self._build_raw_step()
+        C = self.capacity
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(cache, mom_c, dense_params, dstate, gather_idx, scat_slots,
+                 scat_m, buf, buf_mom, dense_x, labels, lr, seed,
+                 ev_slots_pad):
+            (cache, mom_c, dense_params, dstate, buf, buf_mom,
+             loss) = base(cache, mom_c, dense_params, dstate, gather_idx,
+                          scat_slots, scat_m, buf, buf_mom, dense_x,
+                          labels, lr, seed)
+            ev_rows = cache[jnp.clip(ev_slots_pad, 0, C - 1)]
+            ev_rows = (_q8_decode(ev_rows) if ev_rows.dtype == jnp.uint8
+                       else ev_rows.astype(jnp.float32))
+            ev_mom = mom_c[jnp.clip(ev_slots_pad, 0, C - 1)]
+            rows = jnp.concatenate([ev_rows, buf], axis=0)
+            moms = jnp.concatenate([ev_mom, buf_mom], axis=0)
+            packed = jnp.concatenate([rows, moms[:, None]], axis=1)
+            return cache, mom_c, dense_params, dstate, buf, buf_mom, \
+                loss, packed
+
+        return step
+
+    def train_batches(self, dense_params, dstate, batches, start_step: int = 1,
+                      on_loss=None):
+        """PIPELINED HBM-bounded training over a batch iterable (VERDICT r1
+        item 5).  Semantically identical to per-batch train_batch() — the
+        equivalence test checks bit-for-bit trajectories — but restructured
+        so the host stays ahead of the device:
+
+        - batch k's dying-cell snapshot + updated buffer rows come back as
+          ONE packed transfer (vs three), consumed while batch k+1's policy
+          assignment has already run;
+        - the pre-step eviction write-back (old step 1) is ELIDED: DRAM is
+          only read by the miss fetch, and rows evicted in EARLIER batches
+          are already current (their packed write-back landed before this
+          fetch).  Rows evicted IN THIS batch and re-missed in it (rare) are
+          store-forwarded from a targeted device gather instead.
+
+        Yields (dense_params, dstate, loss_device) per batch; returns via
+        StopIteration the final (dense_params, dstate).
+        """
+        if not hasattr(self, "_step_packed"):
+            self._step_packed = self._build_step_packed()
+        MAXI = np.iinfo(np.int32).max
+        pending = None   # (ev_keys, ev_slots, buf_t, buf_r, nonres, M, packed)
+
+        def land(p):
+            """Apply batch p's write-backs to DRAM (one transfer)."""
+            ev_keys, ev_slots, Ep, buf_t, buf_r, nonres, M, packed = p
+            arr = np.asarray(packed)           # THE transfer
+            E = len(ev_slots)
+            if E:
+                rows, moms = arr[:E, :-1], arr[:E, -1]
+                ts = np.asarray([k[0] for k in ev_keys])
+                rs = np.asarray([k[1] for k in ev_keys])
+                for t in np.unique(ts):
+                    sel = ts == t
+                    self.host_tables[t][rs[sel]] = rows[sel]
+                    self.host_mom[t][rs[sel]] = moms[sel]
+            if M:
+                nb = arr[Ep:, :-1]
+                nbm = arr[Ep:, -1]
+                for t in np.unique(buf_t[nonres]):
+                    sel = nonres & (buf_t == t)
+                    self.host_tables[t][buf_r[sel]] = nb[:M][sel]
+                    self.host_mom[t][buf_r[sel]] = nbm[:M][sel]
+
+        step_idx = start_step
+        for dense_x, idx, labels in batches:
+            idx = np.asarray(idx)
+            (slots, scat_slots, scat_m, asg_buf, ev_keys, ev_slots,
+             upd) = self.assigner.assign_batch_train(idx)
+            M = asg_buf.shape[0]
+            # targeted store-forward gather for same-batch evict+re-miss:
+            # dispatched against the PRE-step cache handle (post step k-1)
+            fw_rows = fw_moms = None
+            fw_idx = {}
+            buf_t, buf_r = self._buffer_keys_arrays(idx, slots, M)
+            if len(ev_keys) and M:
+                evmap = {k: s for k, s in zip(ev_keys, ev_slots)}
+                hits = [(m, evmap[(int(buf_t[m]), int(buf_r[m]))])
+                        for m in range(M)
+                        if (int(buf_t[m]), int(buf_r[m])) in evmap]
+                if hits:
+                    sl = jnp.asarray([s for _, s in hits], jnp.int32)
+                    v = self.cache_values[sl]
+                    fw_rows = (_q8_decode(v) if v.dtype == jnp.uint8
+                               else v.astype(jnp.float32))
+                    fw_moms = self.cache_mom[sl]
+                    fw_idx = {m: i for i, (m, _) in enumerate(hits)}
+            # land batch k-1's write-backs BEFORE this fetch reads DRAM
+            if pending is not None:
+                land(pending)
+            # miss fetch (+ momenta) from (now-current) DRAM
+            bk = self.insert_bucket
+            Mp = max(bk, ((M + bk - 1) // bk) * bk)
+            buf_p = np.zeros((Mp, self.dim), np.float32)
+            if M:
+                buf_p[:M] = self.assigner.fetch_rows_arrays(buf_t, buf_r)
+            buf_mom = np.zeros((Mp,), np.float32)
+            for t in np.unique(buf_t):
+                sel = buf_t == t
+                buf_mom[:M][sel] = self.host_mom[t][buf_r[sel]]
+            if fw_idx:
+                fr = np.asarray(fw_rows)
+                fm = np.asarray(fw_moms)
+                for m, i in fw_idx.items():
+                    buf_p[m] = fr[i]
+                    buf_mom[m] = fm[i]
+            ss = np.full((Mp,), self.capacity, np.int32)
+            sm = np.zeros((Mp,), np.int32)
+            ss[:len(scat_slots)] = scat_slots
+            sm[:len(scat_m)] = scat_m
+            gather_idx = np.where(upd == MAXI, slots, upd).astype(np.int32)
+            # dying-cell snapshot slots, padded to insert_bucket multiples —
+            # the SAME bucketing as Mp so the (Ep, Mp) shape pair stays
+            # stable across batches (each distinct pair is a retrace, and
+            # compiles are expensive on remote-compile backends)
+            E = len(ev_slots)
+            Ep = max(bk, ((E + bk - 1) // bk) * bk)
+            evs = np.zeros((Ep,), np.int32)
+            evs[:E] = ev_slots
+            lr = float(self.lr_fn(step_idx))
+            (self.cache_values, self.cache_mom, dense_params, dstate,
+             _, _, loss, packed) = self._step_packed(
+                self.cache_values, self.cache_mom, dense_params, dstate,
+                jnp.asarray(gather_idx), jnp.asarray(ss), jnp.asarray(sm),
+                jnp.asarray(buf_p), jnp.asarray(buf_mom),
+                jnp.asarray(np.asarray(dense_x)),
+                jnp.asarray(np.asarray(labels)), lr,
+                jnp.asarray(step_idx, jnp.int32), jnp.asarray(evs))
+            nonres = np.ones(M, bool)
+            nonres[scat_m[scat_m < M]] = False
+            # packed rows: [Ep dying | Mp buffer]; keep only real E/M rows
+            pending = (ev_keys, list(ev_slots), Ep, buf_t, buf_r, nonres, M,
+                       packed)
+            step_idx += 1
+            yield dense_params, dstate, loss
+        if pending is not None:
+            land(pending)
 
     # ------------------------------------------------------------ host side
 

@@ -135,7 +135,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--secondary-precision", type=int, default=8)
     p.add_argument("--high-agghit-threshold", type=int, default=23)
     p.add_argument("--emb-stor", type=str, default="dummy",
-                   choices=["dummy", "file", "mmap", "sqlite", "native"])
+                   choices=["dummy", "file", "mmap", "sqlite", "logkv",
+                            "native"])
     p.add_argument("--ev-table-path", type=str, default="")
     p.add_argument("--alt-key-path", type=str, default="")
     p.add_argument("--ev-precs", type=int, default=32)

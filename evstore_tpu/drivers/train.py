@@ -254,7 +254,29 @@ def run_cached_training(cfg: DLRMConfig, tcfg: TrainConfig, ccfg,
     t0 = time.perf_counter()
     n_since = 0
     last_loss = float("nan")
+    pipelined = isinstance(tc, TrainableDeviceCache) and not isinstance(
+        tc, ShardedTrainableDeviceCache)
     for epoch in range(tcfg.nepochs):
+        if pipelined:
+            # PIPELINED loop: batch k+1's policy/fetch host work overlaps
+            # batch k's device step; write-backs ride one packed transfer
+            # (cache/trainable.py train_batches)
+            stream = tc.train_batches(dense, dstate, make_train_batches(),
+                                      start_step=step + 1)
+            for dense, dstate, loss in stream:
+                step += 1
+                n_since += 1
+                if step % max(tcfg.print_freq, 1) == 0:
+                    last_loss = float(loss)
+                    dt = time.perf_counter() - t0
+                    history["loss"].append((step, last_loss))
+                    s = tc.stats()
+                    log_fn(f"step {step}: loss {last_loss:.6f} "
+                           f"({n_since * tcfg.batch_size / max(dt, 1e-9):.0f}"
+                           f" examples/s, hit rate {s['hit_rate']:.3f}, "
+                           f"cache hbm {s['hbm_bytes'] / 1e6:.1f} MB)")
+                    t0, n_since = time.perf_counter(), 0
+            continue
         for dense_x, idx, y in make_train_batches():
             step += 1
             dense, dstate, loss = tc.train_batch(dense, dstate, step,

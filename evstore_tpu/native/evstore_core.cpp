@@ -1503,6 +1503,154 @@ void esv_stats(void* h, double* out) {
 
 void esv_close(void* h) { delete (Engine*)h; }
 
+// ------------------------------------------- log-structured persistent KV
+// The write-optimized on-disk KV tier the reference gets from RocksDB
+// (emb_storage/storage_rocksdb.py:27-123: key "table-row" -> raw row bytes,
+// bulk load at :68).  pyrocksdb isn't in this image, so this is a small
+// LSM-style store of our own: an append-only log of fixed-size records
+// [u64 packed key | value bytes] with an in-RAM FlatMap key->offset index
+// (rebuilt by one sequential scan on open), point reads via pread, updates
+// by append (old record space reclaimed by compact()).  Batched gets sort
+// by file offset so cold reads sweep the log near-sequentially.
+
+struct LogKV {
+  int fd = -1;
+  int vbytes = 0;               // value bytes per record
+  uint64_t tail = 0;            // append offset
+  uint64_t live = 0;            // live records
+  FlatMap<uint64_t> index;      // key -> offset of record START
+  std::string path;
+  size_t rec_bytes() const { return 8 + (size_t)vbytes; }
+};
+
+void* esv_kv_open(const char* path, int value_bytes) {
+  if (value_bytes <= 0) return nullptr;
+  int fd = open(path, O_RDWR | O_CREAT, 0644);
+  if (fd < 0) return nullptr;
+  LogKV* kv = new LogKV();
+  kv->fd = fd;
+  kv->vbytes = value_bytes;
+  kv->path = path;
+  // rebuild the index with one sequential scan (later records win)
+  const size_t rb = kv->rec_bytes();
+  off_t fsize = lseek(fd, 0, SEEK_END);
+  std::vector<uint8_t> buf((size_t)1 << 20);
+  size_t per = buf.size() / rb;
+  uint64_t off = 0;
+  while (off + rb <= (uint64_t)fsize) {
+    size_t want = std::min((uint64_t)(per * rb), (uint64_t)fsize - off);
+    want -= want % rb;
+    ssize_t got = pread(fd, buf.data(), want, off);
+    if (got < (ssize_t)rb) break;
+    size_t nrec = (size_t)got / rb;
+    for (size_t i = 0; i < nrec; i++) {
+      uint64_t k;
+      memcpy(&k, buf.data() + i * rb, 8);
+      if (!kv->index.find(k)) kv->live++;
+      kv->index.insert(k, off + i * rb);
+    }
+    off += nrec * rb;
+  }
+  kv->tail = off;
+  return kv;
+}
+
+long esv_kv_count(void* h) { return (long)((LogKV*)h)->live; }
+
+// append n records (insert or update); returns 0 / -1 on IO error
+int esv_kv_put_batch(void* h, const uint64_t* keys, const uint8_t* vals,
+                     long n) {
+  LogKV* kv = (LogKV*)h;
+  const size_t rb = kv->rec_bytes();
+  std::vector<uint8_t> buf(rb * (size_t)std::min(n, 8192L));
+  long i = 0;
+  while (i < n) {
+    long chunk = std::min(n - i, (long)(buf.size() / rb));
+    for (long j = 0; j < chunk; j++) {
+      memcpy(buf.data() + j * rb, &keys[i + j], 8);
+      memcpy(buf.data() + j * rb + 8, vals + (i + j) * kv->vbytes,
+             kv->vbytes);
+    }
+    ssize_t w = pwrite(kv->fd, buf.data(), chunk * rb, kv->tail);
+    if (w != (ssize_t)(chunk * rb)) return -1;
+    for (long j = 0; j < chunk; j++) {
+      if (!kv->index.find(keys[i + j])) kv->live++;
+      kv->index.insert(keys[i + j], kv->tail + j * rb);
+    }
+    kv->tail += chunk * rb;
+    i += chunk;
+  }
+  return 0;
+}
+
+// batched point reads: out[i*vbytes] gets key i's value (zeros on miss);
+// returns the number of hits.  Reads are issued in file-offset order.
+long esv_kv_get_batch(void* h, const uint64_t* keys, uint8_t* out, long n) {
+  LogKV* kv = (LogKV*)h;
+  const size_t rb = kv->rec_bytes();
+  std::vector<std::pair<uint64_t, long>> order;   // (offset, i)
+  order.reserve(n);
+  long hits = 0;
+  for (long i = 0; i < n; i++) {
+    uint64_t* p = kv->index.find(keys[i]);
+    if (p) order.push_back({*p, i});
+    else memset(out + i * kv->vbytes, 0, kv->vbytes);
+  }
+  std::sort(order.begin(), order.end());
+  std::vector<uint8_t> rec(rb);
+  for (auto& [off, i] : order) {
+    if (pread(kv->fd, rec.data(), rb, off) == (ssize_t)rb) {
+      memcpy(out + i * kv->vbytes, rec.data() + 8, kv->vbytes);
+      hits++;
+    } else {
+      memset(out + i * kv->vbytes, 0, kv->vbytes);
+    }
+  }
+  return hits;
+}
+
+// rewrite live records into a fresh log, dropping superseded space;
+// returns reclaimed bytes (or -1)
+long esv_kv_compact(void* h) {
+  LogKV* kv = (LogKV*)h;
+  const size_t rb = kv->rec_bytes();
+  std::string tmp = kv->path + ".compact";
+  int nfd = open(tmp.c_str(), O_RDWR | O_CREAT | O_TRUNC, 0644);
+  if (nfd < 0) return -1;
+  uint64_t noff = 0;
+  bool ok = true;
+  std::vector<uint8_t> rec(rb);
+  FlatMap<uint64_t> nindex;
+  nindex.reserve(kv->live * 2 + 16);
+  kv->index.for_each([&](uint64_t k, uint64_t off) {
+    if (!ok) return;
+    if (pread(kv->fd, rec.data(), rb, off) != (ssize_t)rb ||
+        pwrite(nfd, rec.data(), rb, noff) != (ssize_t)rb) {
+      ok = false;
+      return;
+    }
+    nindex.insert(k, noff);
+    noff += rb;
+  });
+  if (!ok || rename(tmp.c_str(), kv->path.c_str()) != 0) {
+    close(nfd);
+    unlink(tmp.c_str());
+    return -1;
+  }
+  long reclaimed = (long)(kv->tail - noff);
+  close(kv->fd);
+  kv->fd = nfd;
+  kv->tail = noff;
+  kv->index = std::move(nindex);
+  return reclaimed;
+}
+
+void esv_kv_close(void* h) {
+  LogKV* kv = (LogKV*)h;
+  if (kv->fd >= 0) close(kv->fd);
+  delete kv;
+}
+
 // ------------------------------------------------- fast Criteo TSV parser
 // The reference compiles its preprocessing with Cython for speed
 // (cython/cython_compile.py); here the TSV hot loop is native.  Format:

@@ -104,3 +104,93 @@ def test_sqlite_per_table_layout(tables, tmp_path):
     got = s.get_batch([(0, 5), (1, 7)])
     np.testing.assert_allclose(got[1], tables[1][7], rtol=1e-6)
     s.close()
+
+
+# ------------------------------------------------ log-structured KV backend
+
+def _has_gpp():
+    import shutil
+    return shutil.which("g++") is not None
+
+
+def test_logkv_roundtrip_and_reopen(tmp_path):
+    """LogKVStore ≙ storage_rocksdb.py: bulk load, point/batch gets, WRITES
+    (LSM append), index rebuild on reopen, compaction."""
+    if not _has_gpp():
+        import pytest as _p
+        _p.skip("no g++")
+    from evstore_tpu.cache.storage import LogKVStore, write_ev_tables_binary
+    rng = np.random.default_rng(0)
+    sizes = [40, 25]
+    dim = 8
+    tables = [np.asarray(rng.uniform(-1, 1, (s, dim)), np.float32)
+              for s in sizes]
+    write_ev_tables_binary(tables, str(tmp_path))
+    db = str(tmp_path / "ev.log")
+    kv = LogKVStore(db, sizes, dim).create_and_load(str(tmp_path), sizes)
+    assert kv.count() == sum(sizes)
+    np.testing.assert_allclose(kv.get(1, 7), tables[1][7], rtol=1e-6)
+    got = kv.get_batch([(0, 3), (1, 24), (0, 39)])
+    np.testing.assert_allclose(got[1], tables[1][24], rtol=1e-6)
+    # update = append; read-your-writes
+    newv = np.full((2, dim), 0.5, np.float32)
+    kv.put_rows(0, np.asarray([3, 5]), newv)
+    np.testing.assert_allclose(kv.get(0, 3), newv[0], rtol=1e-6)
+    assert kv.count() == sum(sizes)   # updates don't grow the live count
+    kv.close()
+    # reopen: index rebuilt from the log, later records win
+    kv2 = LogKVStore(db, sizes, dim)
+    assert kv2.count() == sum(sizes)
+    np.testing.assert_allclose(kv2.get(0, 5), newv[1], rtol=1e-6)
+    np.testing.assert_allclose(kv2.get(1, 7), tables[1][7], rtol=1e-6)
+    # compact reclaims the superseded records
+    import os
+    before = os.path.getsize(db)
+    reclaimed = kv2.compact()
+    assert reclaimed == 2 * (8 + dim * 4)
+    assert os.path.getsize(db) == before - reclaimed
+    np.testing.assert_allclose(kv2.get(0, 3), newv[0], rtol=1e-6)
+    kv2.close()
+    # ...and the compacted log still reopens correctly
+    kv3 = LogKVStore(db, sizes, dim)
+    assert kv3.count() == sum(sizes)
+    np.testing.assert_allclose(kv3.get(0, 5), newv[1], rtol=1e-6)
+    kv3.close()
+
+
+def test_logkv_through_storage_manager(tmp_path):
+    if not _has_gpp():
+        import pytest as _p
+        _p.skip("no g++")
+    from evstore_tpu.cache.storage import StorageManager, write_ev_tables_binary
+    rng = np.random.default_rng(1)
+    sizes = [30, 20]
+    tables = [np.asarray(rng.uniform(-1, 1, (s, 4)), np.float32)
+              for s in sizes]
+    write_ev_tables_binary(tables, str(tmp_path))
+    sm = StorageManager("logkv", dim=4).load(bin_dir=str(tmp_path),
+                                             table_sizes=sizes)
+    np.testing.assert_allclose(sm.request_group([5, 19]),
+                               np.stack([tables[0][5], tables[1][19]]),
+                               rtol=1e-6)
+    sm.close()
+    # reopen path: count() > 0 skips the bulk load
+    sm2 = StorageManager("logkv", dim=4).load(bin_dir=str(tmp_path),
+                                              table_sizes=sizes)
+    np.testing.assert_allclose(sm2.get(1, 3), tables[1][3], rtol=1e-6)
+    sm2.close()
+
+
+def test_logkv_quantized_rows(tmp_path):
+    if not _has_gpp():
+        import pytest as _p
+        _p.skip("no g++")
+    from evstore_tpu.cache.storage import LogKVStore, write_ev_tables_binary
+    rng = np.random.default_rng(2)
+    tables = [np.asarray(rng.uniform(-1, 1, (16, 4)), np.float32)]
+    write_ev_tables_binary(tables, str(tmp_path), precision=8)
+    kv = LogKVStore(str(tmp_path / "q.log"), [16], 4, precision=8
+                    ).create_and_load(str(tmp_path), [16])
+    got = kv.get(0, 9)
+    np.testing.assert_allclose(got, tables[0][9], atol=0.01)
+    kv.close()

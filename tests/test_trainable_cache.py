@@ -385,3 +385,95 @@ def test_sharded_file_backed_composition(tmp_path):
         np.testing.assert_allclose(fb.host_tables[t], ram.host_tables[t],
                                    rtol=1e-4, atol=1e-6)
     ram.close(); fb.close()
+
+
+def test_pipelined_matches_synchronous_bitexact():
+    """VERDICT r1 item 5 'done' criterion: the pipelined trajectory
+    (train_batches: packed single-transfer write-backs, elided pre-step
+    write-back with same-batch store-forwarding) matches the synchronous
+    per-batch path bit-for-bit — dense params, flushed tables, momenta."""
+    import dataclasses as _dc
+    import jax
+    import jax.numpy as jnp
+    from evstore_tpu.config import (CacheConfig, TrainConfig,
+                                    tiny_dlrm_config)
+    from evstore_tpu.cache.trainable import TrainableDeviceCache
+    from evstore_tpu.data.synthetic import RandomDataConfig, random_batches
+    from evstore_tpu.models.dlrm import init_dlrm
+
+    cfg = tiny_dlrm_config()
+    tcfg = TrainConfig(batch_size=32, learning_rate=0.2,
+                       optimizer="rwsadagrad")
+    # tiny capacity -> heavy eviction churn, exercising the write-back paths
+    ccfg = CacheConfig(policy="evlfu", total_size=24, main_precision=32)
+    rng = np.random.default_rng(0)
+    tables = [np.asarray(rng.uniform(-0.1, 0.1, (s, cfg.embedding_dim)),
+                         np.float32) for s in cfg.table_sizes]
+    dcfg = RandomDataConfig(num_dense=cfg.num_dense_features,
+                            table_sizes=cfg.table_sizes, batch_size=32,
+                            num_batches=20, seed=5, distribution="zipf",
+                            zipf_alpha=1.1)
+
+    def run(pipelined):
+        tc = TrainableDeviceCache(cfg, tcfg, ccfg, tables, insert_bucket=64)
+        params = init_dlrm(jax.random.PRNGKey(0), cfg)
+        dense = params.dense
+        dstate = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p, dtype=jnp.float32), params.dense)
+        losses = []
+        if pipelined:
+            for dense, dstate, loss in tc.train_batches(
+                    dense, dstate, random_batches(dcfg)):
+                losses.append(float(loss))
+        else:
+            for k, (dx, ix, y) in enumerate(random_batches(dcfg)):
+                dense, dstate, loss = tc.train_batch(dense, dstate, k + 1,
+                                                     dx, ix, y)
+                losses.append(float(loss))
+        tc.flush_to_host()
+        out = ([t.copy() for t in tc.host_tables],
+               [m.copy() for m in tc.host_mom],
+               jax.tree_util.tree_map(np.asarray, dense), losses)
+        tc.close()
+        return out
+
+    tab_s, mom_s, dense_s, loss_s = run(False)
+    tab_p, mom_p, dense_p, loss_p = run(True)
+    np.testing.assert_array_equal(loss_s, loss_p)
+    for t in range(cfg.num_tables):
+        np.testing.assert_array_equal(tab_s[t], tab_p[t], err_msg=f"tab {t}")
+        np.testing.assert_array_equal(mom_s[t], mom_p[t], err_msg=f"mom {t}")
+    jax.tree_util.tree_map(np.testing.assert_array_equal, dense_s, dense_p)
+
+
+def test_pipelined_int8_runs_and_learns():
+    """Pipelined path with int8 cached rows (stochastic-rounding stores)."""
+    import jax
+    import jax.numpy as jnp
+    from evstore_tpu.config import (CacheConfig, TrainConfig,
+                                    tiny_dlrm_config)
+    from evstore_tpu.cache.trainable import TrainableDeviceCache
+    from evstore_tpu.data.synthetic import RandomDataConfig, learnable_batches
+    from evstore_tpu.models.dlrm import init_dlrm
+
+    cfg = tiny_dlrm_config()
+    tcfg = TrainConfig(batch_size=64, learning_rate=0.3,
+                       optimizer="rwsadagrad")
+    ccfg = CacheConfig(policy="evlfu", total_size=48, main_precision=8)
+    rng = np.random.default_rng(1)
+    tables = [np.asarray(rng.uniform(-0.05, 0.05, (s, cfg.embedding_dim)),
+                         np.float32) for s in cfg.table_sizes]
+    dcfg = RandomDataConfig(num_dense=cfg.num_dense_features,
+                            table_sizes=cfg.table_sizes, batch_size=64,
+                            num_batches=40, seed=2)
+    tc = TrainableDeviceCache(cfg, tcfg, ccfg, tables, insert_bucket=64)
+    params = init_dlrm(jax.random.PRNGKey(3), cfg)
+    dense = params.dense
+    dstate = jax.tree_util.tree_map(
+        lambda p: jnp.zeros_like(p, dtype=jnp.float32), params.dense)
+    losses = []
+    for dense, dstate, loss in tc.train_batches(dense, dstate,
+                                                learnable_batches(dcfg)):
+        losses.append(float(loss))
+    tc.close()
+    assert np.mean(losses[-8:]) < np.mean(losses[:8])

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -38,8 +39,12 @@ def dot_interaction(x: jnp.ndarray, ly: jnp.ndarray,
     B, D = x.shape
     T = ly.shape[1]
     feats = jnp.concatenate([x[:, None, :], ly], axis=1)       # [B, F, D]
+    # precision=HIGHEST: the interaction is quality-critical and tiny next
+    # to the MLPs (F*F*D MACs/sample), so don't let the MXU demote the f32
+    # operands to bf16 (the default); matches the Pallas fused kernel.
     gram = jnp.einsum("bfd,bgd->bfg", feats, feats,
-                      preferred_element_type=jnp.float32)       # [B, F, F]
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)       # [B, F, F]
     li, lj = _tril_indices(T + 1, self_interaction)
     flat = gram[:, jnp.asarray(li), jnp.asarray(lj)].astype(x.dtype)  # [B, P]
     return jnp.concatenate([x, flat], axis=1)

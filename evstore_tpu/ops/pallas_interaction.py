@@ -43,14 +43,20 @@ def _interaction_kernel(x_ref, ly_ref, sel_ref, out_ref):
     x = x_ref[:].astype(jnp.float32)
     feats = jnp.concatenate([x[:, None, :], ly_ref[:].astype(jnp.float32)],
                             axis=1)                      # [Bt, F, D]
+    # precision=HIGHEST: the MXU demotes f32 operands to bf16 by default
+    # (preferred_element_type only fixes the ACCUMULATOR); the interaction
+    # must match the fp32 XLA path bit-for-bit-ish, so force the 3-pass
+    # f32 algorithm on both dots.
     gram = jax.lax.dot_general(
         feats, feats, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)              # [Bt, F, F]
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)             # [Bt, F, F]
     P = sel_ref.shape[2]
     pairs = jnp.zeros((x.shape[0], P), jnp.float32)
     for f in range(F):
         pairs = pairs + jnp.dot(gram[:, f, :], sel_ref[f],
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
     out_ref[:] = jnp.concatenate([x, pairs], axis=1).astype(out_ref.dtype)
 
 

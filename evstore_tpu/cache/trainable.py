@@ -248,18 +248,49 @@ class TrainableDeviceCache:
         return step
 
     def _build_step_packed(self):
-        """Pipelined variant of the step: same math, but everything the host
-        needs afterwards comes back as ONE packed array [E + Mp, D+1] —
-        (post-update dying-cell rows | updated buffer rows) x (row | mom) —
-        so one device->host transfer replaces three (the dying-cell
-        snapshot, the buffer rows, and the buffer momenta)."""
+        """Pipelined variant of the step: same math, but the host<->device
+        traffic is packed at BOTH ends.  In: all nine per-batch inputs
+        (gather/scatter indices, miss rows + momenta, dense features,
+        labels, lr, seed, dying-slot list) travel as ONE int32 upload —
+        float payloads ride as raw bits and are bitcast back inside jit;
+        on remote-dispatch backends each transfer has a ~30 ms floor, so
+        one upload instead of nine is most of the pipelined speedup.
+        Out: the dying-cell snapshot + updated buffer rows + both momenta
+        come back as ONE packed [Ep + Mp, D+1] array (vs three fetches).
+        Static shape info rides as hashable static args — the (Mp, Ep)
+        bucketing keeps the retrace count identical to the unpacked step."""
         base = self._build_raw_step()
         C = self.capacity
+        D = self.dim
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def step(cache, mom_c, dense_params, dstate, gather_idx, scat_slots,
-                 scat_m, buf, buf_mom, dense_x, labels, lr, seed,
-                 ev_slots_pad):
+        @functools.partial(jax.jit, donate_argnums=(0, 1),
+                           static_argnums=(5, 6, 7, 8, 9))
+        def step(cache, mom_c, dense_params, dstate, packed_in,
+                 gshape, xshape, lshape, Mp, Ep):
+            ng = int(np.prod(gshape))
+            ni = ng + 2 * Mp + Ep + 1
+            ints = packed_in[:ni]
+            flts = jax.lax.bitcast_convert_type(packed_in[ni:], jnp.float32)
+            gather_idx = ints[:ng].reshape(gshape)
+            o = ng
+            scat_slots = ints[o:o + Mp]
+            o += Mp
+            scat_m = ints[o:o + Mp]
+            o += Mp
+            ev_slots_pad = ints[o:o + Ep]
+            o += Ep
+            seed = ints[o]
+            buf = flts[:Mp * D].reshape(Mp, D)
+            o = Mp * D
+            buf_mom = flts[o:o + Mp]
+            o += Mp
+            nx = int(np.prod(xshape))
+            dense_x = flts[o:o + nx].reshape(xshape)
+            o += nx
+            nl = int(np.prod(lshape))
+            labels = flts[o:o + nl].reshape(lshape)
+            o += nl
+            lr = flts[o]
             (cache, mom_c, dense_params, dstate, buf, buf_mom,
              loss) = base(cache, mom_c, dense_params, dstate, gather_idx,
                           scat_slots, scat_m, buf, buf_mom, dense_x,
@@ -271,8 +302,7 @@ class TrainableDeviceCache:
             rows = jnp.concatenate([ev_rows, buf], axis=0)
             moms = jnp.concatenate([ev_mom, buf_mom], axis=0)
             packed = jnp.concatenate([rows, moms[:, None]], axis=1)
-            return cache, mom_c, dense_params, dstate, buf, buf_mom, \
-                loss, packed
+            return cache, mom_c, dense_params, dstate, loss, packed
 
         return step
 
@@ -377,14 +407,19 @@ class TrainableDeviceCache:
             evs = np.zeros((Ep,), np.int32)
             evs[:E] = ev_slots
             lr = float(self.lr_fn(step_idx))
+            dense_x = np.asarray(dense_x, np.float32)
+            labels = np.asarray(labels, np.float32)
+            f32 = np.concatenate([buf_p.ravel(), buf_mom, dense_x.ravel(),
+                                  labels.ravel(),
+                                  np.asarray([lr], np.float32)])
+            packed_in = np.concatenate([
+                gather_idx.ravel(), ss, sm, evs,
+                np.asarray([step_idx], np.int32), f32.view(np.int32)])
             (self.cache_values, self.cache_mom, dense_params, dstate,
-             _, _, loss, packed) = self._step_packed(
+             loss, packed) = self._step_packed(
                 self.cache_values, self.cache_mom, dense_params, dstate,
-                jnp.asarray(gather_idx), jnp.asarray(ss), jnp.asarray(sm),
-                jnp.asarray(buf_p), jnp.asarray(buf_mom),
-                jnp.asarray(np.asarray(dense_x)),
-                jnp.asarray(np.asarray(labels)), lr,
-                jnp.asarray(step_idx, jnp.int32), jnp.asarray(evs))
+                jnp.asarray(packed_in), gather_idx.shape, dense_x.shape,
+                labels.shape, Mp, Ep)
             nonres = np.ones(M, bool)
             nonres[scat_m[scat_m < M]] = False
             # packed rows: [Ep dying | Mp buffer]; keep only real E/M rows

@@ -125,3 +125,65 @@ def test_plot_cdf_tool(tmp_path):
     assert qs[-1] == 1.0
     rc = main([str(p), "--out", str(tmp_path / "cdf.png")])
     assert rc == 0
+
+
+def test_visualize_analyses(rng):
+    """Projection / count / cluster / calibration analyses (≙ reference
+    tools/visualize.py: UMAP-or-fallback projections, categorical count
+    analysis, HDBSCAN clustering, analyze_model_data:856)."""
+    from evstore_tpu.tools import visualize as V
+
+    # two well-separated blobs: PCA fallback + density clustering find them
+    blob = np.concatenate([rng.normal(0, 0.1, (60, 8)),
+                           rng.normal(5, 0.1, (60, 8))]).astype(np.float32)
+    pts = V.project_embeddings(blob, method="pca")
+    assert pts.shape == (120, 2)
+    labels = V.density_cluster(blob, min_cluster_size=10)
+    summ = V.cluster_summary(labels)
+    assert summ["n_clusters"] >= 2
+
+    # zipfian counts: heavier tail -> larger fitted alpha
+    heavy = rng.zipf(2.0, 5000) % 100
+    light = rng.integers(0, 100, 5000)
+    idx = np.stack([heavy, light], axis=1)
+    cc = V.categorical_counts(idx, [100, 100])
+    assert cc[0]["zipf_alpha"] > cc[1]["zipf_alpha"]
+    assert cc[0]["rows_for_90pct"] < cc[1]["rows_for_90pct"]
+
+    scores = rng.uniform(0, 1, 120)
+    y = (rng.uniform(0, 1, 120) < scores).astype(np.float32)
+    rep = V.analyze_model_data(scores, y, features=blob)
+    assert rep["calibration"]["ece"] < 0.2
+    assert "clusters" in rep and rep["score_stats"]["pos_mean"] > \
+        rep["score_stats"]["neg_mean"]
+
+    stats = V.embedding_norm_stats(blob)
+    assert stats["max"] >= stats["p99"] >= stats["p50"] >= stats["min"]
+    nb = V.neighbor_similarity(blob, sample=40)
+    assert nb["nn1_mean"] < nb["row_distance_scale"]
+
+
+def test_visualize_cli(tmp_path, rng):
+    """End-to-end CLI over an EV-table .bin export + a traced workload."""
+    from evstore_tpu.cache.storage import write_ev_tables_binary
+    from evstore_tpu.tools.visualize import main
+
+    sizes = [40, 30]
+    tabs = [rng.normal(size=(s, 8)).astype(np.float32) for s in sizes]
+    write_ev_tables_binary(tabs, str(tmp_path))
+    idx = np.stack([rng.integers(0, 40, 500), rng.integers(0, 30, 500)], 1)
+    scores = rng.uniform(0, 1, 500)
+    labs = (scores > 0.5).astype(np.float32)
+    np.savez(tmp_path / "trace.npz", idx=idx, scores=scores, labels=labs)
+
+    rc = main(["--ev-table-path", str(tmp_path), "--dim", "8",
+               "--table-sizes", "40-30", "--project", "pca",
+               "--trace-npz", str(tmp_path / "trace.npz"),
+               "--out-dir", str(tmp_path / "out"), "--sample", "40"])
+    assert rc == 0
+    import json
+    rep = json.loads((tmp_path / "out" / "report.json").read_text())
+    assert "norms" in rep and "categorical" in rep and "model" in rep
+    assert (tmp_path / "out" / "table0_projection.png").exists()
+    assert (tmp_path / "out" / "count_ranks.png").exists()
+    assert (tmp_path / "out" / "calibration.png").exists()

@@ -326,6 +326,15 @@ class NativeAssigner:
         gradient targets.  Returns (slots [B,T], scat_slots, scat_m,
         buf [n_buf, D], evicted_keys [(t, row)...], evicted_slots,
         upd_targets [B,T])."""
+        (slots, scat_slots, scat_m, buf, ev_keys, ev_slots,
+         upd) = self.assign_batch_train_raw(idx)
+        keys = [(int(k >> 40), int(k & ((1 << 40) - 1))) for k in ev_keys]
+        return slots, scat_slots, scat_m, buf, keys, ev_slots, upd
+
+    def assign_batch_train_raw(self, idx: np.ndarray):
+        """assign_batch_train with evicted keys as a packed uint64 array
+        (table<<40|row, the engine key layout) — no per-eviction Python
+        tuple construction; the windowed trainer tracks keys packed."""
         idx = np.ascontiguousarray(idx, np.int64)
         B, T = idx.shape
         maxM = B * T
@@ -349,10 +358,8 @@ class NativeAssigner:
         if n_buf < 0:
             raise RuntimeError("esv_assign_batch_train: buffer overflow")
         ne = n_ev.value
-        keys = [(int(k >> 40), int(k & ((1 << 40) - 1)))
-                for k in ev_keys[:ne]]
         return (slots, scat_slots[:n_scat.value], scat_m[:n_scat.value],
-                buf[:n_buf], keys, ev_slots[:ne].copy(), upd)
+                buf[:n_buf], ev_keys[:ne].copy(), ev_slots[:ne].copy(), upd)
 
     def fetch_rows(self, keys) -> np.ndarray:
         """Batched storage fetch through the reader pool (train mode does

@@ -477,3 +477,99 @@ def test_pipelined_int8_runs_and_learns():
         losses.append(float(loss))
     tc.close()
     assert np.mean(losses[-8:]) < np.mean(losses[:8])
+
+
+def test_windowed_matches_synchronous_bitexact():
+    """Windowed megastep (K batches per device call, lax.scan on device,
+    shared window miss buffer + on-device eviction-snapshot fills): the
+    trajectory must match the synchronous per-batch path bit-for-bit —
+    losses, dense params, flushed tables, momenta — across window sizes,
+    including windows that straddle heavy eviction churn (capacity 24)."""
+    import jax
+    import jax.numpy as jnp
+    from evstore_tpu.config import (CacheConfig, TrainConfig,
+                                    tiny_dlrm_config)
+    from evstore_tpu.cache.trainable import TrainableDeviceCache
+    from evstore_tpu.data.synthetic import RandomDataConfig, random_batches
+    from evstore_tpu.models.dlrm import init_dlrm
+
+    cfg = tiny_dlrm_config()
+    tcfg = TrainConfig(batch_size=32, learning_rate=0.2,
+                       optimizer="rwsadagrad")
+    ccfg = CacheConfig(policy="evlfu", total_size=24, main_precision=32)
+    rng = np.random.default_rng(0)
+    tables = [np.asarray(rng.uniform(-0.1, 0.1, (s, cfg.embedding_dim)),
+                         np.float32) for s in cfg.table_sizes]
+    dcfg = RandomDataConfig(num_dense=cfg.num_dense_features,
+                            table_sizes=cfg.table_sizes, batch_size=32,
+                            num_batches=30, seed=5, distribution="zipf",
+                            zipf_alpha=1.1)
+
+    def run(window):
+        tc = TrainableDeviceCache(cfg, tcfg, ccfg, tables, insert_bucket=64)
+        params = init_dlrm(jax.random.PRNGKey(0), cfg)
+        dense = params.dense
+        dstate = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p, dtype=jnp.float32), params.dense)
+        losses = []
+        if window:
+            for dense, dstate, loss in tc.train_batches_windowed(
+                    dense, dstate, random_batches(dcfg), window=window):
+                losses.append(float(loss))
+        else:
+            for k, (dx, ix, y) in enumerate(random_batches(dcfg)):
+                dense, dstate, loss = tc.train_batch(dense, dstate, k + 1,
+                                                     dx, ix, y)
+                losses.append(float(loss))
+        tc.flush_to_host()
+        out = ([t.copy() for t in tc.host_tables],
+               [m.copy() for m in tc.host_mom],
+               jax.tree_util.tree_map(np.asarray, dense), losses)
+        tc.close()
+        return out
+
+    tab_s, mom_s, dense_s, loss_s = run(0)
+    for W in (7, 16):         # 7: ragged final window; 16: single window+
+        tab_w, mom_w, dense_w, loss_w = run(W)
+        np.testing.assert_array_equal(loss_s, loss_w, err_msg=f"W={W}")
+        for t in range(cfg.num_tables):
+            np.testing.assert_array_equal(tab_s[t], tab_w[t],
+                                          err_msg=f"W={W} tab {t}")
+            np.testing.assert_array_equal(mom_s[t], mom_w[t],
+                                          err_msg=f"W={W} mom {t}")
+        jax.tree_util.tree_map(np.testing.assert_array_equal, dense_s,
+                               dense_w)
+
+
+def test_windowed_int8_runs_and_learns():
+    """Windowed megastep with int8 cached rows (stochastic-rounding
+    stores) still trains: loss falls on the learnable fixture."""
+    import jax
+    import jax.numpy as jnp
+    from evstore_tpu.config import (CacheConfig, TrainConfig,
+                                    tiny_dlrm_config)
+    from evstore_tpu.cache.trainable import TrainableDeviceCache
+    from evstore_tpu.data.synthetic import RandomDataConfig, learnable_batches
+    from evstore_tpu.models.dlrm import init_dlrm
+
+    cfg = tiny_dlrm_config()
+    tcfg = TrainConfig(batch_size=64, learning_rate=0.3,
+                       optimizer="rwsadagrad")
+    ccfg = CacheConfig(policy="evlfu", total_size=48, main_precision=8)
+    rng = np.random.default_rng(1)
+    tables = [np.asarray(rng.uniform(-0.05, 0.05, (s, cfg.embedding_dim)),
+                         np.float32) for s in cfg.table_sizes]
+    dcfg = RandomDataConfig(num_dense=cfg.num_dense_features,
+                            table_sizes=cfg.table_sizes, batch_size=64,
+                            num_batches=40, seed=2)
+    tc = TrainableDeviceCache(cfg, tcfg, ccfg, tables, insert_bucket=64)
+    params = init_dlrm(jax.random.PRNGKey(3), cfg)
+    dense = params.dense
+    dstate = jax.tree_util.tree_map(
+        lambda p: jnp.zeros_like(p, dtype=jnp.float32), params.dense)
+    losses = []
+    for dense, dstate, loss in tc.train_batches_windowed(
+            dense, dstate, learnable_batches(dcfg), window=8):
+        losses.append(float(loss))
+    tc.close()
+    assert np.mean(losses[-8:]) < np.mean(losses[:8])

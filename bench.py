@@ -570,9 +570,41 @@ def bench_cached_training(cfg, B=2048, n_steps=24, cache_rows=500_000):
     dt = time.perf_counter() - t0
     s = tc.stats()
     tc.close()
+    per_batch = n / dt
+
+    # WINDOWED megastep (train_batches_windowed): W batches per device
+    # call — one packed upload, lax.scan on device, one packed download;
+    # host assigner/tracker runs one window ahead.  Same trajectory
+    # bit-for-bit (tests/test_trainable_cache.py).
+    W = 16
+    tc = TrainableDeviceCache(cfg, tcfg, ccfg, tables, insert_bucket=8192)
+    params = init_dlrm(jax.random.PRNGKey(0), cfg)
+    dense = params.dense
+    dstate = jax.tree_util.tree_map(
+        lambda p: jnp.zeros_like(p, dtype=jnp.float32), params.dense)
+    wcfg = RandomDataConfig(num_dense=cfg.num_dense_features,
+                            table_sizes=sizes, batch_size=B,
+                            num_batches=7 * W, seed=4,
+                            distribution="zipf", zipf_alpha=1.1)
+    wbatches = list(random_batches(wcfg))
+    t0 = None
+    n = 0
+    for k, (dense, dstate, loss) in enumerate(
+            tc.train_batches_windowed(dense, dstate, wbatches, window=W)):
+        if k == 4 * W - 1:    # 4 windows absorb compiles / size high-water
+            device_sync(loss)
+            t0 = time.perf_counter()
+        elif t0 is not None and k >= 4 * W:
+            n += B
+    device_sync(loss)
+    dt = time.perf_counter() - t0
+    s = tc.stats()
+    tc.close()
     total_rows = sum(sizes)
     return {
         "examples_per_s": n / dt,
+        "examples_per_s_per_batch_mode": per_batch,
+        "window": W,
         "hbm_mb": s["hbm_bytes"] / 1e6,
         "full_table_mb": total_rows * cfg.embedding_dim * 4 / 1e6,
         "hit_rate": s["hit_rate"],

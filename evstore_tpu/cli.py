@@ -125,6 +125,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute-dtype", type=str, default="bfloat16")
     # EVStore flags (dlrm_s_pytorch_C1.py:1248-1268)
     p.add_argument("--use-evstore", type=_str_bool, default=False)
+    p.add_argument("--train-window", type=int, default=0,
+                   help="cached training: batches per device call (the "
+                        "windowed megastep, cache/trainable.py); 0/1 = "
+                        "per-batch pipelined")
     p.add_argument("--use-emb-cache", type=_str_bool, default=True)
     p.add_argument("--cache-algo", type=str, default="evlfu",
                    choices=["evlfu", "lfu", "lru", "native"])
@@ -320,7 +324,8 @@ def _run(args) -> int:
                 table_sizes=list(cfg.table_sizes),
                 save_dir=args.save_model or None,
                 mesh=(mesh if args.mesh_model > 1 else None),
-                seed=args.numpy_rand_seed)
+                seed=args.numpy_rand_seed,
+                window=args.train_window)
             print(f"training done: steps={res.steps} best=nan (cached)")
             return 0
         from evstore_tpu.drivers.train import run_training

@@ -215,6 +215,7 @@ def run_cached_training(cfg: DLRMConfig, tcfg: TrainConfig, ccfg,
                         save_dir: Optional[str] = None,
                         mesh=None,
                         seed: int = 0,
+                        window: int = 0,
                         log_fn=print) -> TrainResult:
     """HBM-bounded training through the device cache tier (beyond the
     reference, which forbids training with EVStore —
@@ -260,9 +261,17 @@ def run_cached_training(cfg: DLRMConfig, tcfg: TrainConfig, ccfg,
         if pipelined:
             # PIPELINED loop: batch k+1's policy/fetch host work overlaps
             # batch k's device step; write-backs ride one packed transfer
-            # (cache/trainable.py train_batches)
-            stream = tc.train_batches(dense, dstate, make_train_batches(),
-                                      start_step=step + 1)
+            # (cache/trainable.py train_batches).  window>1 runs the
+            # windowed megastep instead: K batches per device call
+            # (train_batches_windowed), bit-identical trajectories.
+            if window and window > 1:
+                stream = tc.train_batches_windowed(
+                    dense, dstate, make_train_batches(), window=window,
+                    start_step=step + 1)
+            else:
+                stream = tc.train_batches(dense, dstate,
+                                          make_train_batches(),
+                                          start_step=step + 1)
             for dense, dstate, loss in stream:
                 step += 1
                 n_since += 1

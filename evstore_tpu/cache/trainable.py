@@ -553,22 +553,30 @@ class TrainableDeviceCache:
             self._win_hw = {}
         hw = self._win_hw
 
-        def size(name, n, bk_):
+        def size(name, n, bk_, margin=1.0):
+            # on first sight, over-allocate by the steady-state margin so
+            # organic growth (cache filling -> more evictions/landings)
+            # doesn't retrace mid-run
             want = self._bucket(n, bk_)
-            if want > hw.get(name, 0):
+            if name not in hw:
+                hw[name] = self._bucket(int(n * margin), bk_)
+            if want > hw[name]:
                 hw[name] = want
             return hw[name]
 
         p = {"per": per, "state": state, "K": len(batch_list),
              "land_k": land_k, "ev_sel": ev_sel, "land_pay": land_pay,
              "out_u": out_u}
-        p["Up"] = size("Up", n_u, bk)
-        p["Ewp"] = size("Ewp", n_e, bk)
-        p["Op"] = size("Op", len(out_u), bk)
-        p["Sp"] = size("Sp", max(len(q["scat_slots"]) for q in per), 256)
-        p["Gp"] = size("Gp", max(len(q["fc_slot"]) for q in per), 64)
-        p["Fp"] = size("Fp", max(len(q["fe_src"]) for q in per), 64)
-        p["Ep"] = size("Ep", max(len(q["ev_slots"]) for q in per), 256)
+        scat_max = max(len(q["scat_slots"]) for q in per)
+        ev_max = max(len(q["ev_slots"]) for q in per)
+        p["Up"] = size("Up", n_u, bk, 1.25)
+        # steady state: evictions/window ~= inserts/window <= uniques
+        p["Ewp"] = size("Ewp", max(n_e, n_u), bk, 1.25)
+        p["Op"] = size("Op", max(len(out_u), n_u // 2), bk, 1.25)
+        p["Sp"] = size("Sp", scat_max, 256, 2.0)
+        p["Gp"] = size("Gp", max(len(q["fc_slot"]) for q in per), 64, 4.0)
+        p["Fp"] = size("Fp", max(len(q["fe_src"]) for q in per), 64, 4.0)
+        p["Ep"] = size("Ep", max(ev_max, scat_max), 256, 2.0)
         U0 = np.zeros((p["Up"], self.dim), np.float32)
         Um0 = np.zeros((p["Up"],), np.float32)
         dirty_k, dirty_u = [], []

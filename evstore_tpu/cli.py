@@ -132,6 +132,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use-emb-cache", type=_str_bool, default=True)
     p.add_argument("--cache-algo", type=str, default="evlfu",
                    choices=["evlfu", "lfu", "lru", "native"])
+    p.add_argument("--cache-engine", type=str, default="python",
+                   choices=["python", "native"],
+                   help="run the selected --cache-algo policy in the Python "
+                        "frontend or the C++ engine (native LFU/LRU at "
+                        "engine speed ≙ dlrm_s_pytorch_C1.py:1295-1303 "
+                        "baselines); --cache-algo native implies native")
     p.add_argument("--emb-cache-size", type=int, default=64000)
     p.add_argument("--n-caching-layers", type=int, default=1)
     p.add_argument("--size-proportion", type=str, default="48-48-4")
@@ -395,7 +401,8 @@ def _run(args) -> int:
         trace_dir=(args.output_dir + "/trace"
                    if args.trace_inference_workload else None),
         cdf_path=args.write_cdf_file or None,
-        use_native=(args.cache_algo == "native"),
+        use_native=(args.cache_algo == "native"
+                    or args.cache_engine == "native"),
         use_device_cache=args.use_device_cache,
         mesh=mesh)
     print(f"inference done: metrics={res.metrics} "

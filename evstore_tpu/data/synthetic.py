@@ -31,8 +31,14 @@ class RandomDataConfig:
     batch_size: int = 128
     num_batches: int = 100
     seed: int = 123
-    distribution: str = "uniform"     # uniform | zipf (synthetic locality)
+    distribution: str = "uniform"     # uniform | zipf | grouped_zipf
     zipf_alpha: float = 1.05
+    # grouped_zipf: one shared popularity rank per request drives all T
+    # tables (the groupability property EvLFU exploits — one inference
+    # request touches one row per table with correlated popularity,
+    # cache_algo/EvLFU_C1.py:97-161); group_noise resamples a table's id
+    # independently with this probability
+    group_noise: float = 0.1
     rand_data_mu: float = -1.0        # reference --rand-data-* flags
     rand_data_sigma: float = 1.0
     dense_dist: str = "uniform"       # uniform | gaussian
@@ -70,7 +76,7 @@ def random_batches(cfg: RandomDataConfig) -> Iterator[Batch]:
     # for small tables, multiplicative bijection (r*p mod n, gcd(p,n)=1) for
     # huge ones to avoid materializing 100M-entry permutations
     perms = None
-    if cfg.distribution == "zipf":
+    if cfg.distribution in ("zipf", "grouped_zipf"):
         perms = []
         for s in sizes:
             if s <= (1 << 20):
@@ -89,8 +95,21 @@ def random_batches(cfg: RandomDataConfig) -> Iterator[Batch]:
         else:
             dense = rng.random((cfg.batch_size, cfg.num_dense))
         idx = np.empty((cfg.batch_size, len(sizes), L), dtype=np.int32)
+        shared_rank = None
+        if cfg.distribution == "grouped_zipf":
+            # one popularity rank per (sample, bag-slot) shared across tables
+            shared_rank = _sample_indices(rng, cfg.batch_size * L,
+                                          max(sizes), cfg)
         for t, s in enumerate(sizes):
-            raw = _sample_indices(rng, cfg.batch_size * L, s, cfg)
+            if shared_rank is not None:
+                raw = shared_rank % s
+                if cfg.group_noise > 0.0:
+                    flip = rng.random(raw.shape[0]) < cfg.group_noise
+                    raw = np.where(flip,
+                                   _sample_indices(rng, raw.shape[0], s, cfg),
+                                   raw)
+            else:
+                raw = _sample_indices(rng, cfg.batch_size * L, s, cfg)
             if perms is not None:
                 kind, p = perms[t]
                 if kind == "perm":

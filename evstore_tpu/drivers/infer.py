@@ -45,7 +45,11 @@ def build_cache(ccfg: CacheConfig, cfg: DLRMConfig,
                 use_native: bool = False,
                 use_device_cache: bool = False,
                 mesh=None):
-    if ccfg.policy in ("lfu", "lru") and ccfg.n_caching_layers == 1:
+    if (ccfg.policy in ("lfu", "lru") and ccfg.n_caching_layers == 1
+            and not use_native and not use_device_cache):
+        # pure-Python baselines (reference cache_algo/LFU.py, LRU.py);
+        # with use_native the engine runs the same policies at C++ speed
+        # (native/__init__.py _POLICY ≙ dlrm_s_pytorch_C1.py:1295-1303)
         return make_cache_from_policy(ccfg.policy, ccfg.total_size,
                                       cfg.num_tables, storage,
                                       cfg.embedding_dim)

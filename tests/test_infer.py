@@ -105,3 +105,29 @@ def test_workload_tracer(setup, tmp_path):
                   log_fn=lambda *_: None)
     t1 = (tmp_path / "trace" / "trace-table-1.csv").read_text().splitlines()
     assert len(t1) == 2 * 16
+
+
+@pytest.mark.parametrize("policy", ["lfu", "lru"])
+def test_native_policy_baselines(setup, policy):
+    """--cache-algo lfu/lru + native engine must reach NativeTieredCache
+    (VERDICT r2 item 7: the driver short-circuited these to Python)."""
+    pytest.importorskip("evstore_tpu.native")
+    from evstore_tpu.drivers.infer import build_cache
+    from evstore_tpu.native import NativeTieredCache
+    cfg, params, tables, dcfg = setup
+    sm = StorageManager("dummy", dim=cfg.embedding_dim).load(tables=tables)
+    ccfg = CacheConfig(policy=policy, n_caching_layers=1, total_size=60)
+    cache = build_cache(ccfg, cfg, sm, use_native=True)
+    assert isinstance(cache, NativeTieredCache)
+    res = run_inference(params, cfg, ccfg, random_batches(dcfg), sm,
+                        use_native=True, ev_lookup_only=True,
+                        log_fn=lambda *_: None)
+    assert res.requests == 12 * 16
+    assert res.cache_stats["c1"]["hit_rate"] > 0
+    # rows must match the exact tables on hits (fp32 engine)
+    res2 = run_inference(params, cfg, ccfg, random_batches(dcfg), sm,
+                         use_native=True, log_fn=lambda *_: None)
+    plain_m = evaluate(params, cfg, random_batches(dcfg))
+    for k in res2.metrics:
+        if not np.isnan(res2.metrics[k]):
+            np.testing.assert_allclose(res2.metrics[k], plain_m[k], atol=1e-5)

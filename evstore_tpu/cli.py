@@ -123,6 +123,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "extend_distributed.py:34): psum = row-sharded; "
                         "butterfly/alltoall = table-wise lax.all_to_all")
     p.add_argument("--compute-dtype", type=str, default="bfloat16")
+    p.add_argument("--use-pallas-gather", type=_str_bool, default=False,
+                   help="Pallas double-buffered row gather on the eval/"
+                        "inference path (measured 1.43x eval-only at dim "
+                        "128; the train step always uses the XLA gather — "
+                        "see train_loop.py)")
+    p.add_argument("--use-pallas-interaction", type=_str_bool, default=False,
+                   help="fused Pallas dot-interaction kernel (wins in "
+                        "isolation, loses end-to-end to XLA fusion — "
+                        "config.py:50-55; off by default)")
     # EVStore flags (dlrm_s_pytorch_C1.py:1248-1268)
     p.add_argument("--use-evstore", type=_str_bool, default=False)
     p.add_argument("--train-window", type=int, default=0,
@@ -180,6 +189,8 @@ def configs_from_args(args) -> tuple:
         md_flag=args.md_flag, md_threshold=args.md_threshold,
         md_temperature=args.md_temperature, md_round_dims=args.md_round_dims,
         compute_dtype=args.compute_dtype,
+        use_pallas_gather=args.use_pallas_gather,
+        use_pallas_interaction=args.use_pallas_interaction,
         loss_threshold=args.loss_threshold,
         weighted_pooling=args.weighted_pooling)
     lw = [float(x) for x in args.loss_weights.split("-")]
@@ -331,8 +342,11 @@ def _run(args) -> int:
                 save_dir=args.save_model or None,
                 mesh=(mesh if args.mesh_model > 1 else None),
                 seed=args.numpy_rand_seed,
-                window=args.train_window)
-            print(f"training done: steps={res.steps} best=nan (cached)")
+                window=args.train_window,
+                make_test_batches=(make_test if args.test_freq > 0
+                                   else None))
+            print(f"training done: steps={res.steps} "
+                  f"best={res.best_metric:.4f} (cached)")
             return 0
         from evstore_tpu.drivers.train import run_training
         res = run_training(

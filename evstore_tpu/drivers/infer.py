@@ -148,21 +148,32 @@ def run_inference(params: DLRMParams, cfg: DLRMConfig, ccfg: CacheConfig,
         stream = ((d, np.asarray(i), y, None) for d, i, y in batches)
 
     scores, labels = [], []
+    # per-request latency method (VERDICT r2 item 9): at bs=1 each request
+    # is timed individually and the device result is fenced with a real
+    # device->host transfer inside the timed region (block_until_ready can
+    # return at enqueue-ack — see bench.py:13-27); at bs>1 the recorded
+    # figure is the batch time divided across its requests, a smoothed
+    # approximation.  The CDF artifact records which method produced it.
+    true_per_request = None
     t_start = time.perf_counter()
     n_req = 0
     for dense_x, idx, y, pre_rows in stream:
+        if true_per_request is None:
+            true_per_request = idx.shape[0] == 1 and pre_rows is None
         t0 = time.perf_counter()
         rows = pre_rows if pre_rows is not None else _lookup(idx)
+        if not ev_lookup_only:
+            s = fwd(params, jnp.asarray(dense_x), rows, jnp.asarray(idx))
+            if true_per_request:
+                s = np.asarray(s)          # real transfer = honest fence
+            scores.append(s)
+            labels.append(np.asarray(y))
+        elif true_per_request and device_rows:
+            np.asarray(rows)               # fence the device lookup too
+        dt = time.perf_counter() - t0
         if tracer is not None:
             for b in range(idx.shape[0]):
                 tracer.record(idx[b])
-        if not ev_lookup_only:
-            s = fwd(params, jnp.asarray(dense_x), rows, jnp.asarray(idx))
-            scores.append(s)
-            labels.append(np.asarray(y))
-        # per-request latency: batch time divided across requests (the
-        # reference runs bs=1 so these coincide)
-        dt = time.perf_counter() - t0
         for _ in range(idx.shape[0]):
             lat.record(dt / idx.shape[0])
         n_req += idx.shape[0]
@@ -171,7 +182,10 @@ def run_inference(params: DLRMParams, cfg: DLRMConfig, ccfg: CacheConfig,
     if tracer is not None:
         tracer.close()
     if cdf_path is not None:
-        lat.write_cdf(cdf_path)
+        lat.write_cdf(cdf_path,
+                      method=("true-per-request (bs=1, fenced transfer)"
+                              if true_per_request
+                              else "batch-time/B approximation"))
 
     metrics = (binary_metrics(np.concatenate([np.asarray(s) for s in scores]),
                               np.concatenate(labels))

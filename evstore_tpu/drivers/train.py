@@ -18,6 +18,7 @@ import numpy as np
 
 from evstore_tpu.config import DLRMConfig, TrainConfig
 from evstore_tpu.models.dlrm import DLRMParams, init_dlrm
+from evstore_tpu.train.metrics import binary_metrics
 from evstore_tpu.train.train_loop import (evaluate, init_opt_state,
                                           make_eval_step, make_train_step)
 from evstore_tpu.utils.checkpoint import (export_ev_tables, latest_step,
@@ -71,11 +72,6 @@ def run_training(cfg: DLRMConfig, tcfg: TrainConfig,
             log_fn(f"resumed from checkpoint step {s}")
 
     sync_params = lambda p: p   # butterfly mode reconstructs on demand
-    if multihot and mesh is not None and alltoall_impl in ("butterfly",
-                                                           "alltoall"):
-        raise ValueError("multi-hot bags are supported on the psum "
-                         "(row-sharded) exchange and single-device paths; "
-                         "use --alltoall-impl psum")
     if mesh is not None and alltoall_impl in ("butterfly", "alltoall"):
         from jax.sharding import Mesh as _Mesh
         from evstore_tpu.parallel.butterfly import (
@@ -92,13 +88,21 @@ def run_training(cfg: DLRMConfig, tcfg: TrainConfig,
                                            table_order=order))
         bstep = make_butterfly_train_step(
             cfg, tcfg, bmesh, tcfg.batch_size,
-            dedup_exchange=dedup_exchange, table_order=order)(*bstate)
+            dedup_exchange=dedup_exchange, table_order=order,
+            multihot=multihot)(*bstate)
         kcount = jnp.zeros((), jnp.int32)
 
-        def step_fn(p, o, dx, ix, y):
+        def step_fn(p, o, dx, ix, y, bw=None):
             nonlocal kcount
+            if multihot:
+                # the shard_map signature is fixed at build time: weightless
+                # bags get unit per-sample weights (exact for sum pooling)
+                extra = (jnp.ones(ix.shape, jnp.float32)
+                         if bw is None else bw,)
+            else:
+                extra = ()
             (bstate[0], bstate[1], bstate[2], bstate[3],
-             loss) = bstep(*bstate, kcount, dx, ix, y)
+             loss) = bstep(*bstate, kcount, dx, ix, y, *extra)
             kcount = kcount + 1
             return p, o, loss
 
@@ -208,6 +212,57 @@ def run_training(cfg: DLRMConfig, tcfg: TrainConfig,
                        history=history)
 
 
+def _cached_eval(tc, cfg, dense, make_test_batches, eval_fwd):
+    """Eval through the cached trainer: flush dirty HBM rows to the DRAM
+    masters, then score test batches with host-gathered rows injected into
+    the device forward — HBM stays bounded (no full-table upload).  Mirrors
+    run_training's periodic eval (≙ dlrm_s_pytorch.py:1743-1796)."""
+    import jax.numpy as jnp
+    tc.flush_to_host()
+    scores, labels = [], []
+    for batch in make_test_batches():
+        dense_x, idx, y = batch[0], batch[1], batch[-1]
+        idx_np = np.asarray(idx)
+        rows = np.stack([tc.host_tables[t][idx_np[:, t]]
+                         for t in range(cfg.num_tables)], axis=1)
+        scores.append(np.asarray(eval_fwd(dense, jnp.asarray(dense_x),
+                                          jnp.asarray(rows))))
+        labels.append(np.asarray(y))
+    return binary_metrics(np.concatenate(scores), np.concatenate(labels))
+
+
+def _save_dense_npz(dense, dstate, out_dir, step, metrics):
+    """Dense-side (MLP) checkpoint next to the cache's table/momentum .npy
+    files — together with TrainableDeviceCache.save this is the full
+    checkpoint-on-best state of cached training."""
+    import json
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    flat = {f"p{jax.tree_util.keystr(p)}": np.asarray(l)
+            for p, l in jax.tree_util.tree_leaves_with_path(dense)}
+    flat.update({f"s{jax.tree_util.keystr(p)}": np.asarray(l)
+                 for p, l in jax.tree_util.tree_leaves_with_path(dstate)})
+    np.savez(os.path.join(out_dir, "dense_params.npz"), **flat)
+    with open(os.path.join(out_dir, "best.json"), "w") as f:
+        json.dump({"step": step, "metrics": metrics}, f)
+
+
+def restore_dense_npz(dense_template, dstate_template, out_dir):
+    """Inverse of _save_dense_npz (leaves order = tree_structure order)."""
+    import os
+    z = np.load(os.path.join(out_dir, "dense_params.npz"))
+
+    def rebuild(template, prefix):
+        import jax.numpy as jnp
+        leaves = jax.tree_util.tree_leaves_with_path(template)
+        vals = [jnp.asarray(z[f"{prefix}{jax.tree_util.keystr(p)}"])
+                for p, _ in leaves]
+        return jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(template), vals)
+
+    return rebuild(dense_template, "p"), rebuild(dstate_template, "s")
+
+
 def run_cached_training(cfg: DLRMConfig, tcfg: TrainConfig, ccfg,
                         make_train_batches: Callable[[], Iterable],
                         tables=None, ev_table_dir: Optional[str] = None,
@@ -216,13 +271,20 @@ def run_cached_training(cfg: DLRMConfig, tcfg: TrainConfig, ccfg,
                         mesh=None,
                         seed: int = 0,
                         window: int = 0,
+                        make_test_batches: Optional[Callable] = None,
+                        ev_export_dir: Optional[str] = None,
                         log_fn=print) -> TrainResult:
     """HBM-bounded training through the device cache tier (beyond the
     reference, which forbids training with EVStore —
     dlrm_s_pytorch_C1.py:1321-1323).  Embedding masters live in host DRAM
     (`tables`) or on SSD (`ev_table_dir` + `table_sizes`, the terabyte
     configuration); HBM holds only the cache working set.  With `mesh` the
-    working set shards over the model axis (ShardedTrainableDeviceCache)."""
+    working set shards over the model axis (ShardedTrainableDeviceCache).
+
+    With make_test_batches + tcfg.test_freq > 0 the quality loop mirrors
+    run_training (≙ dlrm_s_pytorch.py:1743-1796): periodic AUC eval through
+    the cache, checkpoint-on-best (cache .npy + dense npz into save_dir),
+    and EV export on best into ev_export_dir."""
     import jax.numpy as jnp
     from evstore_tpu.cache.trainable import (ShardedTrainableDeviceCache,
                                              TrainableDeviceCache)
@@ -250,11 +312,50 @@ def run_cached_training(cfg: DLRMConfig, tcfg: TrainConfig, ccfg,
     dense = params.dense
     dstate = jax.tree_util.tree_map(
         lambda p: jnp.zeros_like(p, dtype=jnp.float32), params.dense)
-    history = {"loss": []}
+    history = {"loss": [], "eval": []}
     step = 0
     t0 = time.perf_counter()
     n_since = 0
     last_loss = float("nan")
+    best = -float("inf")
+    do_eval = make_test_batches is not None and tcfg.test_freq > 0
+
+    @jax.jit
+    def eval_fwd(dparams, dense_x, rows):
+        from evstore_tpu.models.dlrm import dlrm_forward as _fwd
+        logits = _fwd(DLRMParams(dparams, {}), dense_x, None, cfg,
+                      emb_rows=rows)
+        return jax.nn.sigmoid(logits)
+
+    def eval_and_track():
+        nonlocal best
+        metrics = _cached_eval(tc, cfg, dense, make_test_batches, eval_fwd)
+        history["eval"].append((step, metrics))
+        log_fn(f"eval @ {step}: auc {metrics['auc']:.4f} "
+               f"acc {metrics['accuracy']:.4f}")
+        score = (metrics["auc"] if not np.isnan(metrics["auc"])
+                 else metrics["accuracy"])
+        if score > best:
+            best = score
+            if save_dir:
+                tc.save(save_dir)
+                _save_dense_npz(dense, dstate, save_dir, step, metrics)
+            if ev_export_dir:
+                tc.export_ev_tables(ev_export_dir)
+        return metrics
+
+    def progress(loss, bsize):
+        nonlocal last_loss, t0, n_since
+        last_loss = float(loss)
+        dt = time.perf_counter() - t0
+        history["loss"].append((step, last_loss))
+        s = tc.stats()
+        log_fn(f"step {step}: loss {last_loss:.6f} "
+               f"({n_since * bsize / max(dt, 1e-9):.0f}"
+               f" examples/s, hit rate {s['hit_rate']:.3f}, "
+               f"cache hbm {s['hbm_bytes'] / 1e6:.1f} MB)")
+        t0, n_since = time.perf_counter(), 0
+
     pipelined = isinstance(tc, TrainableDeviceCache) and not isinstance(
         tc, ShardedTrainableDeviceCache)
     for epoch in range(tcfg.nepochs):
@@ -264,27 +365,35 @@ def run_cached_training(cfg: DLRMConfig, tcfg: TrainConfig, ccfg,
             # (cache/trainable.py train_batches).  window>1 runs the
             # windowed megastep instead: K batches per device call
             # (train_batches_windowed), bit-identical trajectories.
-            if window and window > 1:
-                stream = tc.train_batches_windowed(
-                    dense, dstate, make_train_batches(), window=window,
-                    start_step=step + 1)
-            else:
-                stream = tc.train_batches(dense, dstate,
-                                          make_train_batches(),
-                                          start_step=step + 1)
-            for dense, dstate, loss in stream:
-                step += 1
-                n_since += 1
-                if step % max(tcfg.print_freq, 1) == 0:
-                    last_loss = float(loss)
-                    dt = time.perf_counter() - t0
-                    history["loss"].append((step, last_loss))
-                    s = tc.stats()
-                    log_fn(f"step {step}: loss {last_loss:.6f} "
-                           f"({n_since * tcfg.batch_size / max(dt, 1e-9):.0f}"
-                           f" examples/s, hit rate {s['hit_rate']:.3f}, "
-                           f"cache hbm {s['hbm_bytes'] / 1e6:.1f} MB)")
-                    t0, n_since = time.perf_counter(), 0
+            # Periodic eval chunks the stream at test_freq batches: the
+            # generator drains cleanly at a chunk boundary, so the flush in
+            # _cached_eval sees fully-landed state.
+            import itertools
+            batch_iter = iter(make_train_batches())
+            while True:
+                if do_eval:
+                    chunk = list(itertools.islice(batch_iter,
+                                                  tcfg.test_freq))
+                    if not chunk:
+                        break
+                else:
+                    chunk = batch_iter
+                if window and window > 1:
+                    stream = tc.train_batches_windowed(
+                        dense, dstate, chunk, window=window,
+                        start_step=step + 1)
+                else:
+                    stream = tc.train_batches(dense, dstate, chunk,
+                                              start_step=step + 1)
+                for dense, dstate, loss in stream:
+                    step += 1
+                    n_since += 1
+                    if step % max(tcfg.print_freq, 1) == 0:
+                        progress(loss, tcfg.batch_size)
+                if do_eval:
+                    eval_and_track()
+                else:
+                    break
             continue
         for dense_x, idx, y in make_train_batches():
             step += 1
@@ -293,24 +402,22 @@ def run_cached_training(cfg: DLRMConfig, tcfg: TrainConfig, ccfg,
             n_since += 1
             if step % max(tcfg.print_freq, 1) == 0:
                 jax.block_until_ready(loss)
-                last_loss = float(loss)
-                dt = time.perf_counter() - t0
-                history["loss"].append((step, last_loss))
-                s = tc.stats()
-                log_fn(f"step {step}: loss {last_loss:.6f} "
-                       f"({n_since * np.asarray(dense_x).shape[0] / max(dt, 1e-9):.0f} "
-                       f"examples/s, hit rate {s['hit_rate']:.3f}, "
-                       f"cache hbm {s['hbm_bytes'] / 1e6:.1f} MB)")
-                t0, n_since = time.perf_counter(), 0
+                progress(loss, np.asarray(dense_x).shape[0])
+            if do_eval and step % tcfg.test_freq == 0:
+                eval_and_track()
+    if do_eval:  # final eval (mirrors run_training's)
+        metrics = eval_and_track()
     if ev_table_dir:
         tc.flush_files()
-    elif save_dir:
+    elif save_dir and not do_eval:
         tc.save(save_dir)
     else:
         tc.flush_to_host()
     stats = tc.stats()
     tc.close()
-    log_fn(f"cached training done: steps={step} cache={stats}")
+    log_fn(f"cached training done: steps={step} cache={stats} "
+           f"best={best if best > -float('inf') else float('nan'):.4f}")
     return TrainResult(params=DLRMParams(dense, params.sparse),
-                       best_metric=float("nan"), steps=step,
-                       history=history)
+                       best_metric=(best if best > -float("inf")
+                                    else float("nan")),
+                       steps=step, history=history)

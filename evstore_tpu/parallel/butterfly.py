@@ -84,7 +84,8 @@ def unstack_tables(stack: jnp.ndarray, params: DLRMParams,
 
 def make_butterfly_train_step(cfg: DLRMConfig, tcfg: TrainConfig, mesh: Mesh,
                               global_batch: int, dedup_exchange: bool = False,
-                              table_order: Tuple[int, ...] = None):
+                              table_order: Tuple[int, ...] = None,
+                              multihot: bool = False):
     """Returns build(params) -> jitted step over
     (dense_params, stack, opt_dense, row_state[T_pad, N_max... no:
     rwsadagrad row state is [T_pad, N_max]], step, dense_x, idx, labels).
@@ -100,6 +101,15 @@ def make_butterfly_train_step(cfg: DLRMConfig, tcfg: TrainConfig, mesh: Mesh,
     The backward all_to_all then carries per-unique-row grads (already
     coalesced within each destination slice) — the sparse-update gather
     shrinks by the same factor.  (SURVEY §7 hard part v, butterfly form.)
+
+    multihot=True accepts idx [B, T, L] bags + bag_weights [B, T, L]
+    (EmbeddingBag per_sample_weights, dlrm_s_pytorch.py:407-459, riding the
+    reference's a2a at :564-570).  Sum-pooling commutes with the exchange,
+    so the dense path pools each bag BEFORE the all_to_all (wire format
+    unchanged: [B, Tl, D] pooled rows); the dedup path instead ships unique
+    rows of the flattened bag ids and pools on the destination after
+    reconstruction (weights are applied inside the loss, so autodiff
+    delivers per-unique-row grads directly).
     """
     opt_init, dense_update, sparse_update = make_optimizer(tcfg.optimizer)
     lr_fn = lr_schedule(tcfg.learning_rate, tcfg.lr_num_warmup_steps,
@@ -116,20 +126,23 @@ def make_butterfly_train_step(cfg: DLRMConfig, tcfg: TrainConfig, mesh: Mesh,
     pos_of = [order.index(t) for t in range(T)]
 
     def local_step_dedup(dense_params, stack_local, dstate, row_state_local,
-                         step, dense_x, idx_full, labels):
-        # stack_local: [Tl, N_max, D]; idx_full: [B, T] replicated
+                         step, dense_x, idx_full, labels, bag_weights=None):
+        # stack_local: [Tl, N_max, D]; idx_full: [B, T] (or [B, T, L] bags)
+        # replicated; bag_weights: [B, T, L] replicated (multihot only)
         Tl, n_max, D = stack_local.shape
         shard = jax.lax.axis_index(AXIS)
-        U = min(Bl, n_max)
+        L = idx_full.shape[2] if multihot else 1
+        U = min(Bl * L, n_max)
 
-        # --- source side: per (local table, dest shard) unique rows ---
+        # --- source side: per (local table, dest shard) unique rows over
+        # the FLATTENED bag ids of that dest's batch slice ---
         order_arr = jnp.asarray(order_np)
         uniq_src = []                       # [Tl][n_dev] each [U] global ids
         parts = []
         for tl in range(Tl):
             ot = order_arr[shard * Tl + tl]     # slot -> table id
             col = jnp.take(idx_full, ot, axis=1)
-            col2 = col.reshape(n_dev, Bl)   # dest-major batch slices
+            col2 = col.reshape(n_dev, Bl * L)   # dest-major batch slices
             per_dest_rows, per_dest_ids = [], []
             for d in range(n_dev):
                 uniq = jnp.unique(col2[d], size=U, fill_value=PAD_ROW)
@@ -145,11 +158,12 @@ def make_butterfly_train_step(cfg: DLRMConfig, tcfg: TrainConfig, mesh: Mesh,
         # --- dest side: inverse maps over OUR batch slice (same unique) ---
         inv_rows = []
         for t in range(T):
-            col_l = jnp.take(idx_full[:, t].reshape(n_dev, Bl), shard, axis=0)
+            col_l = jnp.take(idx_full[:, t].reshape(n_dev, Bl * L), shard,
+                             axis=0)
             _, inv = jnp.unique(col_l, return_inverse=True, size=U,
                                 fill_value=PAD_ROW)
             inv_rows.append(inv.reshape(-1))
-        inv_mat = jnp.stack(inv_rows, 0)    # [T, Bl]
+        inv_mat = jnp.stack(inv_rows, 0)    # [T, Bl*L]
 
         def loss_fn(dparams, ly_in):
             recv = jax.lax.all_to_all(ly_in, AXIS, split_axis=0,
@@ -158,7 +172,16 @@ def make_butterfly_train_step(cfg: DLRMConfig, tcfg: TrainConfig, mesh: Mesh,
             recv = jnp.take(recv, jnp.asarray(pos_of, jnp.int32),
                             axis=0)                        # [T, U, D]
             ly = jax.vmap(lambda r, i: jnp.take(r, i, axis=0))(recv, inv_mat)
-            ly = jnp.moveaxis(ly, 0, 1)                    # [Bl, T, D]
+            if multihot:
+                ly = ly.reshape(T, Bl, L, D).transpose(1, 0, 2, 3)
+                w_l = (None if bag_weights is None else
+                       jnp.take(bag_weights.reshape(n_dev, Bl, T, L), shard,
+                                axis=0))
+                if w_l is not None:
+                    ly = ly * w_l[..., None].astype(ly.dtype)
+                ly = ly.sum(axis=2)                        # [Bl, T, D]
+            else:
+                ly = jnp.moveaxis(ly, 0, 1)                # [Bl, T, D]
             logits = dlrm_forward(DLRMParams(dparams, {}), dense_x, None,
                                   cfg, emb_rows=ly)
             return dlrm_loss(logits, labels, tcfg.loss_function,
@@ -182,7 +205,7 @@ def make_butterfly_train_step(cfg: DLRMConfig, tcfg: TrainConfig, mesh: Mesh,
         for tl in range(Tl):
             ids = jnp.concatenate(uniq_src[tl])            # [n_dev*U]
             g = g_u[:, tl].reshape(n_dev * U, D)
-            uniq, summed, valid = dedup_rows(ids, g, min(n_dev * U, B))
+            uniq, summed, valid = dedup_rows(ids, g, min(n_dev * U, B * L))
             st = (new_row_state[tl] if new_row_state is not None else None)
             new_st, new_tab = sparse_update(st, new_stack[tl], uniq, summed,
                                             valid, lr)
@@ -192,10 +215,12 @@ def make_butterfly_train_step(cfg: DLRMConfig, tcfg: TrainConfig, mesh: Mesh,
         return new_dense, new_stack, new_dstate, new_row_state, loss
 
     def local_step(dense_params, stack_local, dstate, row_state_local, step,
-                   dense_x, idx_full, labels):
-        # stack_local: [Tl, N_max, D]; idx_full: [B, T] replicated
+                   dense_x, idx_full, labels, bag_weights=None):
+        # stack_local: [Tl, N_max, D]; idx_full: [B, T] (or [B, T, L] bags)
+        # replicated; bag_weights: [B, T, L] replicated (multihot only)
         Tl = stack_local.shape[0]
         shard = jax.lax.axis_index(AXIS)
+        L = idx_full.shape[2] if multihot else 1
 
         order_arr = jnp.asarray(order_np)
 
@@ -205,7 +230,15 @@ def make_butterfly_train_step(cfg: DLRMConfig, tcfg: TrainConfig, mesh: Mesh,
                 # slot -> table id (padded slots clamp to 0; zero rows)
                 ot = order_arr[shard * Tl + tl]
                 col = jnp.take(idx_full, ot, axis=1)
-                outs.append(jnp.take(stack_l[tl], col, axis=0))
+                rows = jnp.take(stack_l[tl], col, axis=0)
+                if multihot:
+                    # sum-pooling commutes with the a2a: pool the bag BEFORE
+                    # the exchange so the wire format stays [B, Tl, D]
+                    from evstore_tpu.models.embedding import pool_bags
+                    w = (None if bag_weights is None
+                         else jnp.take(bag_weights, ot, axis=1))
+                    rows = pool_bags(rows, w)
+                outs.append(rows)
             return jnp.stack(outs, axis=1)         # [B, Tl, D]
 
         ly_local = lookup(stack_local)
@@ -235,10 +268,24 @@ def make_butterfly_train_step(cfg: DLRMConfig, tcfg: TrainConfig, mesh: Mesh,
         g_ly = g_ly / n_dev
         new_stack = stack_local
         new_row_state = row_state_local
+        n_max = stack_local.shape[1]
         for tl in range(Tl):
             ot = order_arr[shard * Tl + tl]
             col = jnp.take(idx_full, ot, axis=1)
-            uniq, summed, valid = dedup_rows(col, g_ly[:, tl, :], B)
+            if multihot:
+                # pooled-row grad -> per-bag-entry grads (chain rule of the
+                # pre-exchange sum-pool: g_row[b,l] = g_pooled[b] * w[b,l])
+                gt = g_ly[:, tl, :][:, None, :]            # [B, 1, D]
+                if bag_weights is not None:
+                    w = jnp.take(bag_weights, ot, axis=1)  # [B, L]
+                    gt = gt * w[..., None].astype(gt.dtype)
+                else:
+                    gt = jnp.broadcast_to(gt, (B, L, gt.shape[2]))
+                col = col.reshape(-1)
+                uniq, summed, valid = dedup_rows(
+                    col, gt.reshape(B * L, -1), min(B * L, n_max))
+            else:
+                uniq, summed, valid = dedup_rows(col, g_ly[:, tl, :], B)
             st = (new_row_state[tl] if new_row_state is not None else None)
             new_st, new_tab = sparse_update(st, new_stack[tl], uniq, summed,
                                             valid, lr)
@@ -254,6 +301,8 @@ def make_butterfly_train_step(cfg: DLRMConfig, tcfg: TrainConfig, mesh: Mesh,
         row_spec = (P(AXIS, None) if row_state is not None else None)
         in_specs = (dense_spec, stack_spec, dstate_spec, row_spec, P(),
                     P(AXIS), P(), P(AXIS))
+        if multihot:
+            in_specs = in_specs + (P(),)   # bag_weights: full-batch, replic.
         out_specs = (dense_spec, stack_spec, dstate_spec, row_spec, P())
         body = local_step_dedup if dedup_exchange else local_step
         fn = jax.shard_map(body, mesh=mesh, in_specs=in_specs,

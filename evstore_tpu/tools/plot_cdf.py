@@ -21,7 +21,8 @@ from typing import List, Tuple
 def read_cdf(path: str) -> Tuple[List[float], List[float]]:
     lats, qs = [], []
     with open(path) as f:
-        for row in csv.DictReader(f):
+        rows = (ln for ln in f if not ln.startswith("#"))
+        for row in csv.DictReader(rows):
             lats.append(float(row["latency_s"]))
             qs.append(float(row["cdf"]))
     return lats, qs

@@ -48,10 +48,16 @@ class LatencyRecorder:
             return float("nan")
         return float(np.percentile(np.asarray(self.samples), q))
 
-    def write_cdf(self, path: str):
+    def write_cdf(self, path: str, method: str = None):
+        """Writes the CDF CSV; `method` records HOW the samples were timed
+        (e.g. "true-per-request" vs "batch-time/B approximation") as a
+        leading comment so the artifact is self-describing (VERDICT r2
+        item 9)."""
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         c = self.cdf()
         with open(path, "w") as f:
+            if method:
+                f.write(f"# method={method}\n")
             f.write("latency_s,cdf\n")
             for lat, q in c:
                 f.write(f"{lat:.9f},{q:.6f}\n")

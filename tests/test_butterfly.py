@@ -193,3 +193,47 @@ def test_butterfly_multiple_steps_converge():
         k = k + 1
         losses.append(float(loss))
     assert np.mean(losses[-10:]) < np.mean(losses[:10])
+
+
+@pytest.mark.parametrize("opt", ["sgd", "rwsadagrad"])
+@pytest.mark.parametrize("dedup", [False, True])
+def test_butterfly_multihot_matches_single_device(opt, dedup):
+    """VERDICT r2 item 5: multi-hot bags through the butterfly exchange
+    (pool-before-a2a in the dense path, unique-rows-of-the-flat-bag in the
+    dedup path) must match the single-device multi-hot step (the reference
+    bags ride its a2a unchanged, dlrm_s_pytorch.py:407-459,:564-570)."""
+    cfg = _cfg()
+    tcfg = TrainConfig(batch_size=16, learning_rate=0.1, optimizer=opt)
+    params = init_dlrm(jax.random.PRNGKey(0), cfg)
+    B, L = 16, 3
+    rng = np.random.default_rng(7)
+    dense = jnp.asarray(rng.random((B, cfg.num_dense_features)), jnp.float32)
+    idx = jnp.asarray(
+        np.stack([rng.integers(0, s, (B, L)) for s in cfg.table_sizes],
+                 axis=1), jnp.int32)                       # [B, T, L]
+    bw = jnp.asarray(rng.random((B, cfg.num_tables, L)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 2, B), jnp.float32)
+
+    step1 = jax.jit(make_train_step(cfg, tcfg))
+    p1, o1, loss1 = step1(params, init_opt_state(params, tcfg), dense, idx,
+                          labels, bw)
+
+    mesh = _mesh(8)
+    d0, stack, dstate, row_state = init_butterfly_state(params, tcfg, mesh)
+    step = make_butterfly_train_step(cfg, tcfg, mesh, B,
+                                     dedup_exchange=dedup,
+                                     multihot=True)(
+        d0, stack, dstate, row_state)
+    d1, stack1, _, _, lossN = step(d0, stack, dstate, row_state,
+                                   jnp.zeros((), jnp.int32), dense, idx,
+                                   labels, bw)
+    np.testing.assert_allclose(float(lossN), float(loss1), rtol=1e-5)
+    pN = unstack_tables(stack1, params)
+    for t in range(cfg.num_tables):
+        np.testing.assert_allclose(
+            np.asarray(pN.sparse[f"table_{t}"]["kind_plain"]),
+            np.asarray(p1.sparse[f"table_{t}"]["kind_plain"]),
+            rtol=1e-4, atol=1e-6, err_msg=f"table_{t}")
+    np.testing.assert_allclose(
+        np.asarray(d1["bot"]["layer_0"]["w"]),
+        np.asarray(p1.dense["bot"]["layer_0"]["w"]), rtol=1e-4, atol=1e-6)

@@ -49,7 +49,8 @@ def test_cached_inference_matches_plain_fp32(setup, tmp_path):
             np.testing.assert_allclose(res.metrics[k], plain_m[k], atol=1e-5)
     # CDF file written
     lines = (tmp_path / "cdf.csv").read_text().splitlines()
-    assert lines[0] == "latency_s,cdf" and len(lines) > 10
+    assert lines[0] == "# method=batch-time/B approximation"
+    assert lines[1] == "latency_s,cdf" and len(lines) > 10
     assert res.cache_stats["requests"] == 12 * 16
 
 
@@ -131,3 +132,24 @@ def test_native_policy_baselines(setup, policy):
     for k in res2.metrics:
         if not np.isnan(res2.metrics[k]):
             np.testing.assert_allclose(res2.metrics[k], plain_m[k], atol=1e-5)
+
+
+def test_bs1_cdf_is_true_per_request(setup, tmp_path):
+    """VERDICT r2 item 9: at bs=1 the driver times each request
+    individually with a fenced transfer and the CDF artifact says so."""
+    import dataclasses
+    cfg, params, tables, dcfg = setup
+    sm = StorageManager("dummy", dim=cfg.embedding_dim).load(tables=tables)
+    ccfg = CacheConfig(policy="evlfu", n_caching_layers=1, total_size=60,
+                       main_precision=32)
+    d1 = dataclasses.replace(dcfg, batch_size=1, num_batches=20)
+    res = run_inference(params, cfg, ccfg, random_batches(d1), sm,
+                        cdf_path=str(tmp_path / "cdf1.csv"),
+                        log_fn=lambda *_: None)
+    lines = (tmp_path / "cdf1.csv").read_text().splitlines()
+    assert lines[0] == "# method=true-per-request (bs=1, fenced transfer)"
+    assert res.requests == 20
+    # the plot tool must skip the comment line
+    from evstore_tpu.tools.plot_cdf import read_cdf
+    lats, qs = read_cdf(str(tmp_path / "cdf1.csv"))
+    assert len(lats) > 0 and qs[-1] == 1.0

@@ -573,3 +573,80 @@ def test_windowed_int8_runs_and_learns():
         losses.append(float(loss))
     tc.close()
     assert np.mean(losses[-8:]) < np.mean(losses[:8])
+
+
+def test_cached_training_quality_loop_matches_full_table(tmp_path):
+    """VERDICT r2 item 4: run_cached_training with test_freq must run the
+    periodic eval through the cache, track best AUC, and checkpoint-on-best
+    — and its AUC must match full-table training's within noise on the
+    learnable fixture (≙ the reference's eval/ckpt loop,
+    dlrm_s_pytorch.py:1743-1796)."""
+    from evstore_tpu.drivers.train import (restore_dense_npz,
+                                           run_cached_training, run_training)
+
+    cfg = tiny_dlrm_config()
+    tcfg = TrainConfig(batch_size=16, learning_rate=0.2,
+                       optimizer="rwsadagrad", test_freq=40, print_freq=40)
+    ccfg = CacheConfig(policy="evlfu", total_size=200, main_precision=32)
+    dcfg = RandomDataConfig(num_dense=cfg.num_dense_features,
+                            table_sizes=cfg.table_sizes, batch_size=16,
+                            num_batches=120, seed=0)
+    tdcfg = RandomDataConfig(num_dense=cfg.num_dense_features,
+                             table_sizes=cfg.table_sizes, batch_size=16,
+                             num_batches=20, seed=99)
+    make_train = lambda: learnable_batches(dcfg)
+    make_test = lambda: learnable_batches(tdcfg)
+
+    save = str(tmp_path / "best")
+    res_c = run_cached_training(cfg, tcfg, ccfg, make_train,
+                                save_dir=save,
+                                make_test_batches=make_test,
+                                log_fn=lambda *a: None)
+    res_f = run_training(cfg, tcfg, make_train, make_test,
+                         log_fn=lambda *a: None)
+
+    # quality parity within noise on the learnable fixture
+    assert res_c.best_metric > 0.75
+    assert abs(res_c.best_metric - res_f.best_metric) < 0.05
+    assert len(res_c.history["eval"]) >= 3   # periodic evals happened
+
+    # checkpoint-on-best artifacts: cache tables + dense npz + metadata
+    import os
+    assert os.path.exists(os.path.join(save, "table_0.npy"))
+    assert os.path.exists(os.path.join(save, "dense_params.npz"))
+    assert os.path.exists(os.path.join(save, "best.json"))
+    dense2, dstate2 = restore_dense_npz(res_c.params.dense,
+                                        jax.tree_util.tree_map(
+                                            lambda p: jnp.zeros_like(
+                                                p, jnp.float32),
+                                            res_c.params.dense), save)
+    # roundtrip shape fidelity
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(res_c.params.dense),
+            jax.tree_util.tree_leaves_with_path(dense2)):
+        assert a.shape == b.shape
+
+
+def test_cached_training_quality_loop_windowed(tmp_path):
+    """The windowed megastep path must run the same quality loop (eval at
+    chunk boundaries) and reach the same quality."""
+    from evstore_tpu.drivers.train import run_cached_training
+
+    cfg = tiny_dlrm_config()
+    tcfg = TrainConfig(batch_size=16, learning_rate=0.2,
+                       optimizer="rwsadagrad", test_freq=40, print_freq=40)
+    ccfg = CacheConfig(policy="evlfu", total_size=200, main_precision=32)
+    dcfg = RandomDataConfig(num_dense=cfg.num_dense_features,
+                            table_sizes=cfg.table_sizes, batch_size=16,
+                            num_batches=120, seed=0)
+    tdcfg = RandomDataConfig(num_dense=cfg.num_dense_features,
+                             table_sizes=cfg.table_sizes, batch_size=16,
+                             num_batches=20, seed=99)
+    res = run_cached_training(cfg, tcfg, ccfg,
+                              lambda: learnable_batches(dcfg),
+                              window=8,
+                              make_test_batches=lambda: learnable_batches(
+                                  tdcfg),
+                              log_fn=lambda *a: None)
+    assert res.best_metric > 0.75
+    assert len(res.history["eval"]) >= 3

@@ -30,11 +30,26 @@ def init_multihost(coordinator_address: Optional[str] = None,
                    process_id: Optional[int] = None) -> Tuple[int, int]:
     """Initialize the cross-host runtime (≙ init_distributed).  With no
     arguments, TPU pod environments self-configure.  Returns
-    (process_index, process_count)."""
-    if jax.process_count() == 1 and (coordinator_address or num_processes):
-        jax.distributed.initialize(coordinator_address=coordinator_address,
-                                   num_processes=num_processes,
-                                   process_id=process_id)
+    (process_index, process_count).
+
+    NOTE: must run before anything touches the XLA backend — including
+    jax.devices()/process_count() — so the guard here is try/except on the
+    initialize call itself, never a backend query (a backend-touching guard
+    makes explicit multi-process init impossible; caught by
+    tests/test_multihost.py)."""
+    if coordinator_address or num_processes:
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes, process_id=process_id)
+        except RuntimeError as e:
+            if "already" not in str(e):    # double-init: idempotent no-op
+                raise
+    else:
+        try:
+            jax.distributed.initialize()   # pod envs self-configure
+        except Exception:
+            pass                           # single process: stay local
     return jax.process_index(), jax.process_count()
 
 

@@ -80,6 +80,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-indices-per-lookup-fixed", type=_str_bool,
                    default=False)
     p.add_argument("--memory-map", action="store_true")
+    p.add_argument("--dataset-multiprocessing", type=int, default=0,
+                   help="process-pool workers for --memory-map streaming "
+                        "preprocessing (≙ data_utils.py:876 "
+                        "dataset_multiprocessing; 0/1 = sequential)")
     p.add_argument("--mlperf-bin-loader", action="store_true")
     p.add_argument("--percent-data-for-inference", type=float, default=1.0)
     # training (:977-1002)
@@ -258,7 +262,8 @@ def _make_data(args, cfg):
                 pf = preprocess_criteo_streaming(
                     args.raw_data_file, out_dir, days=7,
                     sub_sample_rate=args.data_sub_sample_rate,
-                    seed=args.numpy_rand_seed, dataset_name=args.data_set)
+                    seed=args.numpy_rand_seed, dataset_name=args.data_set,
+                    num_workers=args.dataset_multiprocessing)
             else:
                 pf = preprocess_criteo(
                     args.raw_data_file, out_dir, days=7,

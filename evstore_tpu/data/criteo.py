@@ -283,10 +283,99 @@ def _chunks_of(path: str, chunk_rows: int):
         yield (np.asarray(labels, np.int32), np.stack(dense), np.stack(cats))
 
 
+# ------------------------------------------- parallel preprocessing workers
+
+def _scan_chunk_offsets(path: str, chunk_rows: int):
+    """Newline scan (no parsing) -> [(byte_lo, byte_hi, n_lines)] with
+    chunk_rows lines per task.  Block reads at memchr speed; the offsets
+    are exact line boundaries, so disjoint ranges partition the file."""
+    size = os.path.getsize(path)
+    tasks = []
+    chunk_lo, lines_in_chunk = 0, 0
+    off = 0
+    last_byte = b""
+    with open(path, "rb") as f:
+        while True:
+            buf = f.read(1 << 24)
+            if not buf:
+                break
+            last_byte = buf[-1:]
+            start = 0
+            while True:
+                i = buf.find(b"\n", start)
+                if i < 0:
+                    break
+                lines_in_chunk += 1
+                if lines_in_chunk == chunk_rows:
+                    tasks.append((chunk_lo, off + i + 1, chunk_rows))
+                    chunk_lo = off + i + 1
+                    lines_in_chunk = 0
+                start = i + 1
+            off += len(buf)
+    if chunk_lo < size:
+        tail_lines = lines_in_chunk + (0 if last_byte == b"\n" else 1)
+        tasks.append((chunk_lo, size, tail_lines))
+    return tasks
+
+
+def _parse_range(path: str, lo: int, hi: int, max_rows: int):
+    """Parse lines starting in [lo, hi) — native when available, else the
+    pure-Python fallback with identical semantics."""
+    try:
+        from evstore_tpu.native import parse_criteo_tsv_range
+        return parse_criteo_tsv_range(path, lo, hi, max_rows)
+    except FileNotFoundError:
+        raise
+    except Exception:
+        pass
+    with open(path, "rb") as f:
+        f.seek(lo)
+        text = f.read(hi - lo).decode("utf-8", errors="replace")
+    labels, dense, cats = [], [], []
+    for line in text.splitlines():
+        parts = line.split("\t")
+        if len(parts) != 1 + NUM_DENSE + NUM_SPARSE:
+            continue
+        try:
+            lab = int(parts[0])
+            d = np.zeros(NUM_DENSE, np.int64)
+            for i, v in enumerate(parts[1:1 + NUM_DENSE]):
+                if v:
+                    x = int(v)
+                    d[i] = x if x > 0 else 0
+            c = np.zeros(NUM_SPARSE, np.int64)
+            for i, v in enumerate(parts[1 + NUM_DENSE:]):
+                c[i] = int(v, 16) if v else 0
+        except ValueError:
+            continue
+        labels.append(lab)
+        dense.append(d)
+        cats.append(c)
+    if not labels:
+        return (np.empty(0, np.int32), np.empty((0, NUM_DENSE), np.int64),
+                np.empty((0, NUM_SPARSE), np.int64))
+    return (np.asarray(labels, np.int32), np.stack(dense), np.stack(cats))
+
+
+def _pp_pass1_worker(task):
+    """Parse a byte range, return (n_rows, per-table sorted uniques) —
+    the expensive parse+unique runs in the worker; the parent only merges
+    the (small) unique arrays, preserving sequential id-assignment order."""
+    path, lo, hi, n_lines, _fi = task
+    labels, _, cats = _parse_range(path, lo, hi, n_lines)
+    return len(labels), [np.unique(cats[:, t]) for t in range(NUM_SPARSE)]
+
+
+def _pp_pass2_worker(task):
+    path, lo, hi, n_lines, _fi = task
+    return _parse_range(path, lo, hi, n_lines)
+
+
 def preprocess_criteo_streaming(inputs, out_dir: str, days: int = 7,
                                 sub_sample_rate: float = 0.0, seed: int = 123,
                                 dataset_name: str = "kaggle",
-                                chunk_rows: int = 1_000_000) -> str:
+                                chunk_rows: int = 1_000_000,
+                                num_workers: int = 0) -> str:
     """Terabyte-scale preprocessing with BOUNDED memory.
 
     ≙ data_utils.py getCriteoAdData(:876) + processCriteoAdData(:112) +
@@ -298,6 +387,18 @@ def preprocess_criteo_streaming(inputs, out_dir: str, days: int = 7,
     [label, 13 dense, 26 sparse] straight to the combined .bin — no
     full-dataset array ever exists in RAM.  RSS is O(chunk + dictionaries).
 
+    num_workers > 1 parallelizes both passes (≙ the reference's
+    dataset_multiprocessing option, data_utils.py:876): a newline scan
+    splits each file into chunk_rows-line byte ranges; a process pool
+    parses them (pass 1 additionally uniques worker-side) while the parent
+    absorbs/merges dictionaries and writes records IN TASK ORDER — so id
+    assignment, the subsample rng stream and the output bytes are identical
+    to the sequential path on well-formed input (golden-checked).  On input
+    with malformed lines, chunk boundaries are line-based rather than
+    parsed-row-based, which may permute dictionary ids; output is then
+    deterministic per (seed, chunk_rows) but not byte-identical to
+    num_workers=0.
+
     inputs: one TSV path (split into `days` row-slices, Kaggle style) or a
     list of per-day paths (Terabyte `day_*` style).  Returns the path of a
     meta .npz holding {bin_path, counts, day_offsets}; load with
@@ -306,14 +407,28 @@ def preprocess_criteo_streaming(inputs, out_dir: str, days: int = 7,
     os.makedirs(out_dir, exist_ok=True)
     paths = [inputs] if isinstance(inputs, str) else list(inputs)
     dicts = _StreamingDicts()
+    parallel = bool(num_workers and num_workers > 1)
+    if parallel:
+        import multiprocessing as mp
+        ctx = mp.get_context("fork")
+        tasks = [(p, lo, hi, nl, fi) for fi, p in enumerate(paths)
+                 for lo, hi, nl in _scan_chunk_offsets(p, chunk_rows)]
 
     # pass 1: dictionaries + row count
     n_total = 0
-    for p in paths:
-        for labels, _, cats in _chunks_of(p, chunk_rows):
-            n_total += len(labels)
-            for t in range(NUM_SPARSE):
-                dicts.absorb(t, cats[:, t])
+    if parallel:
+        with ctx.Pool(num_workers) as pool:
+            # ordered imap: absorb order == sequential chunk order
+            for n, uniqs in pool.imap(_pp_pass1_worker, tasks, chunksize=1):
+                n_total += n
+                for t in range(NUM_SPARSE):
+                    dicts.absorb(t, uniqs[t])
+    else:
+        for p in paths:
+            for labels, _, cats in _chunks_of(p, chunk_rows):
+                n_total += len(labels)
+                for t in range(NUM_SPARSE):
+                    dicts.absorb(t, cats[:, t])
     if n_total == 0:
         raise ValueError(f"no parseable rows in {paths}")
 
@@ -328,34 +443,47 @@ def preprocess_criteo_streaming(inputs, out_dir: str, days: int = 7,
     rng = np.random.default_rng(seed)
     day_counts = np.zeros(days, np.int64)
     row = 0
+
+    if parallel:
+        def chunk_source():
+            with ctx.Pool(num_workers) as pool:
+                for task, parsed in zip(tasks,
+                                        pool.imap(_pp_pass2_worker, tasks,
+                                                  chunksize=1)):
+                    yield task[4], parsed   # (file index, (lab, dense, cat))
+    else:
+        def chunk_source():
+            for fi, p in enumerate(paths):
+                for parsed in _chunks_of(p, chunk_rows):
+                    yield fi, parsed
+
     with open(bin_path, "wb") as out:
-        for fi, p in enumerate(paths):
-            for labels, dense, cats in _chunks_of(p, chunk_rows):
-                n = len(labels)
-                keep = np.ones(n, bool)
-                if sub_sample_rate > 0.0:
-                    keep = (rng.random(n) < sub_sample_rate) | (labels == 1)
-                rec = np.empty((n, RECORD_INTS), np.int32)
-                rec[:, 0] = labels
-                rec[:, 1:1 + NUM_DENSE] = dense
-                for t in range(NUM_SPARSE):
-                    rec[:, 1 + NUM_DENSE + t] = dicts.map(t, cats[:, t])
-                if per_day is None:
-                    day = fi
-                    rec[keep].tofile(out)
-                    day_counts[day] += int(keep.sum())
-                else:
-                    # row-sliced days may straddle a chunk
-                    d_lo = min(row // per_day, days - 1)
-                    d_hi = min((row + n - 1) // per_day, days - 1)
-                    for d in range(d_lo, d_hi + 1):
-                        lo = max(d * per_day, row) - row
-                        hi = (n if d == days - 1
-                              else min((d + 1) * per_day, row + n) - row)
-                        m = keep[lo:hi]
-                        rec[lo:hi][m].tofile(out)
-                        day_counts[d] += int(m.sum())
-                row += n
+        for fi, (labels, dense, cats) in chunk_source():
+            n = len(labels)
+            keep = np.ones(n, bool)
+            if sub_sample_rate > 0.0:
+                keep = (rng.random(n) < sub_sample_rate) | (labels == 1)
+            rec = np.empty((n, RECORD_INTS), np.int32)
+            rec[:, 0] = labels
+            rec[:, 1:1 + NUM_DENSE] = dense
+            for t in range(NUM_SPARSE):
+                rec[:, 1 + NUM_DENSE + t] = dicts.map(t, cats[:, t])
+            if per_day is None:
+                day = fi
+                rec[keep].tofile(out)
+                day_counts[day] += int(keep.sum())
+            else:
+                # row-sliced days may straddle a chunk
+                d_lo = min(row // per_day, days - 1)
+                d_hi = min((row + n - 1) // per_day, days - 1)
+                for d in range(d_lo, d_hi + 1):
+                    lo = max(d * per_day, row) - row
+                    hi = (n if d == days - 1
+                          else min((d + 1) * per_day, row + n) - row)
+                    m = keep[lo:hi]
+                    rec[lo:hi][m].tofile(out)
+                    day_counts[d] += int(m.sum())
+            row += n
 
     meta_path = os.path.join(out_dir, f"{dataset_name}_stream_meta.npz")
     np.savez(meta_path, bin_path=np.asarray(bin_path),

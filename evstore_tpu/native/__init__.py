@@ -148,6 +148,32 @@ def parse_criteo_tsv_native(path: str):
     return labels[:n], dense[:n], cats[:n]
 
 
+def parse_criteo_tsv_range(path: str, start_offset: int, end_offset: int,
+                           max_rows: int):
+    """Parse only lines starting in byte range [start_offset, end_offset)
+    (line boundaries from a newline scan) — the worker primitive of the
+    parallel preprocessing path (≙ data_utils.py:876 dataset_multiprocessing
+    per-day workers).  Returns (labels, dense, cats)."""
+    lib = get_lib()
+    if not hasattr(lib, "_tsv_range_bound"):
+        lib.esv_parse_criteo_tsv_range.restype = ctypes.c_long
+        lib.esv_parse_criteo_tsv_range.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")]
+        lib._tsv_range_bound = True
+    labels = np.empty(max_rows, np.int32)
+    dense = np.empty((max_rows, 13), np.int64)
+    cats = np.empty((max_rows, 26), np.int64)
+    n = lib.esv_parse_criteo_tsv_range(
+        path.encode(), start_offset, end_offset, max_rows, labels,
+        dense.reshape(-1), cats.reshape(-1))
+    if n < 0:
+        raise FileNotFoundError(path)
+    return labels[:n], dense[:n], cats[:n]
+
+
 def parse_criteo_tsv_chunks(path: str, chunk_rows: int = 1_000_000):
     """Generator of (labels, dense, cats) numpy chunks with bounded memory
     (native chunked parser; streaming ≙ the reference's per-day processing,

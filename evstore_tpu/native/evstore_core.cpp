@@ -1657,6 +1657,39 @@ void esv_kv_close(void* h) {
 // label \t 13 ints \t 26 hex cats; empty/negative dense -> 0, empty cat -> 0
 // (data_utils.py:1130-1153 semantics).
 
+static bool parse_criteo_line(char* p, int32_t* lab_out,
+                              int64_t* drow, int64_t* crow) {
+  long lab = strtol(p, &p, 10);
+  if (*p != '\t') return false;   // malformed
+  p++;
+  for (int i = 0; i < 13; i++) {
+    if (*p == '\t') { drow[i] = 0; p++; continue; }
+    char* q;
+    long v = strtol(p, &q, 10);
+    if (q == p || *q != '\t') return false;
+    drow[i] = v > 0 ? v : 0;
+    p = q + 1;
+  }
+  for (int i = 0; i < 26; i++) {
+    char term = (i == 25) ? '\n' : '\t';
+    if (*p == term || *p == '\0' || *p == '\r') {
+      crow[i] = 0;
+      if (*p) p++;
+      continue;
+    }
+    char* q;
+    long long v = strtoll(p, &q, 16);
+    if (q == p) return false;
+    crow[i] = (int64_t)v;
+    p = q;
+    if (*p == term || *p == '\r' || *p == '\n') p++;
+    else if (*p == '\0') {}
+    else return false;
+  }
+  *lab_out = (int32_t)lab;
+  return true;
+}
+
 long esv_parse_criteo_tsv(const char* path, long max_rows, int32_t* labels,
                           int64_t* dense /* n x 13 */,
                           int64_t* cats /* n x 26 */) {
@@ -1665,41 +1698,11 @@ long esv_parse_criteo_tsv(const char* path, long max_rows, int32_t* labels,
   char line[1 << 16];
   long n = 0;
   while (n < max_rows && fgets(line, sizeof(line), f)) {
-    char* p = line;
-    // label
-    long lab = strtol(p, &p, 10);
-    if (*p != '\t') continue;   // malformed
-    p++;
+    int32_t lab;
     int64_t drow[13];
     int64_t crow[26];
-    bool ok = true;
-    for (int i = 0; i < 13; i++) {
-      if (*p == '\t') { drow[i] = 0; p++; continue; }
-      char* q;
-      long v = strtol(p, &q, 10);
-      if (q == p || *q != '\t') { ok = false; break; }
-      drow[i] = v > 0 ? v : 0;
-      p = q + 1;
-    }
-    if (!ok) continue;
-    for (int i = 0; i < 26; i++) {
-      char term = (i == 25) ? '\n' : '\t';
-      if (*p == term || *p == '\0' || *p == '\r') {
-        crow[i] = 0;
-        if (*p) p++;
-        continue;
-      }
-      char* q;
-      long long v = strtoll(p, &q, 16);
-      if (q == p) { ok = false; break; }
-      crow[i] = (int64_t)v;
-      p = q;
-      if (*p == term || *p == '\r' || *p == '\n') p++;
-      else if (*p == '\0') {}
-      else { ok = false; break; }
-    }
-    if (!ok) continue;
-    labels[n] = (int32_t)lab;
+    if (!parse_criteo_line(line, &lab, drow, crow)) continue;
+    labels[n] = lab;
     memcpy(dense + n * 13, drow, sizeof(drow));
     memcpy(cats + n * 26, crow, sizeof(crow));
     n++;
@@ -1727,45 +1730,50 @@ long esv_parse_criteo_tsv_chunk(const char* path, long start_offset,
   char line[1 << 16];
   long n = 0;
   while (n < max_rows && fgets(line, sizeof(line), f)) {
-    char* p = line;
-    long lab = strtol(p, &p, 10);
-    if (*p != '\t') continue;
-    p++;
+    int32_t lab;
     int64_t drow[13];
     int64_t crow[26];
-    bool ok = true;
-    for (int i = 0; i < 13; i++) {
-      if (*p == '\t') { drow[i] = 0; p++; continue; }
-      char* q;
-      long v = strtol(p, &q, 10);
-      if (q == p || *q != '\t') { ok = false; break; }
-      drow[i] = v > 0 ? v : 0;
-      p = q + 1;
-    }
-    if (!ok) continue;
-    for (int i = 0; i < 26; i++) {
-      char term = (i == 25) ? '\n' : '\t';
-      if (*p == term || *p == '\0' || *p == '\r') {
-        crow[i] = 0;
-        if (*p) p++;
-        continue;
-      }
-      char* q;
-      long long v = strtoll(p, &q, 16);
-      if (q == p) { ok = false; break; }
-      crow[i] = (int64_t)v;
-      p = q;
-      if (*p == term || *p == '\r' || *p == '\n') p++;
-      else if (*p == '\0') {}
-      else { ok = false; break; }
-    }
-    if (!ok) continue;
-    labels[n] = (int32_t)lab;
+    if (!parse_criteo_line(line, &lab, drow, crow)) continue;
+    labels[n] = lab;
     memcpy(dense + n * 13, drow, sizeof(drow));
     memcpy(cats + n * 26, crow, sizeof(crow));
     n++;
   }
   if (next_offset) *next_offset = ftell(f);
+  fclose(f);
+  return n;
+}
+
+// Byte-range variant for PARALLEL preprocessing (≙ the reference's
+// dataset_multiprocessing per-day workers, data_utils.py:876): parses only
+// lines STARTING in [start_offset, end_offset) so disjoint ranges from a
+// newline scan partition the file exactly, independent of how many
+// malformed lines each range skips.  start/end must be line boundaries.
+long esv_parse_criteo_tsv_range(const char* path, long start_offset,
+                                long end_offset, long max_rows,
+                                int32_t* labels,
+                                int64_t* dense /* n x 13 */,
+                                int64_t* cats /* n x 26 */) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  if (start_offset > 0 && fseek(f, start_offset, SEEK_SET) != 0) {
+    fclose(f);
+    return -1;
+  }
+  char line[1 << 16];
+  long n = 0;
+  long pos = start_offset;
+  while (n < max_rows && pos < end_offset && fgets(line, sizeof(line), f)) {
+    pos = ftell(f);
+    int32_t lab;
+    int64_t drow[13];
+    int64_t crow[26];
+    if (!parse_criteo_line(line, &lab, drow, crow)) continue;
+    labels[n] = lab;
+    memcpy(dense + n * 13, drow, sizeof(drow));
+    memcpy(cats + n * 26, crow, sizeof(crow));
+    n++;
+  }
   fclose(f);
   return n;
 }

@@ -139,3 +139,65 @@ def test_native_chunk_parser_matches_whole_file(tmp_path):
     np.testing.assert_array_equal(l0, l1)
     np.testing.assert_array_equal(d0, d1)
     np.testing.assert_array_equal(c0, c1)
+
+
+def test_parallel_preprocess_identical_to_sequential(tmp_path):
+    """VERDICT r2 item 8: num_workers>1 must produce BYTE-IDENTICAL output
+    to the sequential streaming path on well-formed input — same dict ids
+    (ordered absorb of worker uniques), same subsample rng stream, same
+    record bytes, same day offsets."""
+    txt = make_synthetic_criteo_txt(str(tmp_path / "train.txt"), n=7000,
+                                    seed=11, vocab=500)
+    seq = preprocess_criteo_streaming(txt, str(tmp_path / "seq"), days=4,
+                                      sub_sample_rate=0.5, seed=7,
+                                      chunk_rows=1000)
+    par = preprocess_criteo_streaming(txt, str(tmp_path / "par"), days=4,
+                                      sub_sample_rate=0.5, seed=7,
+                                      chunk_rows=1000, num_workers=4)
+    rs, zs = _bin_records(seq)
+    rp, zp = _bin_records(par)
+    np.testing.assert_array_equal(rs, rp)
+    np.testing.assert_array_equal(zs["counts"], zp["counts"])
+    np.testing.assert_array_equal(zs["day_offsets"], zp["day_offsets"])
+
+
+def test_parallel_preprocess_multiday_files(tmp_path):
+    txts = [make_synthetic_criteo_txt(str(tmp_path / f"day_{d}"), n=1500,
+                                      seed=d, vocab=300) for d in range(3)]
+    seq = preprocess_criteo_streaming(txts, str(tmp_path / "seq"),
+                                      chunk_rows=400)
+    par = preprocess_criteo_streaming(txts, str(tmp_path / "par"),
+                                      chunk_rows=400, num_workers=3)
+    rs, zs = _bin_records(seq)
+    rp, zp = _bin_records(par)
+    np.testing.assert_array_equal(rs, rp)
+    np.testing.assert_array_equal(zs["day_offsets"], zp["day_offsets"])
+
+
+def test_scan_chunk_offsets_partitions_file(tmp_path):
+    from evstore_tpu.data.criteo import _scan_chunk_offsets
+    txt = make_synthetic_criteo_txt(str(tmp_path / "t.txt"), n=2503, seed=0,
+                                    vocab=50)
+    tasks = _scan_chunk_offsets(txt, 1000)
+    size = os.path.getsize(txt)
+    assert tasks[0][0] == 0 and tasks[-1][1] == size
+    for (l0, h0, n0), (l1, h1, n1) in zip(tasks, tasks[1:]):
+        assert h0 == l1                       # disjoint, covering
+    assert [t[2] for t in tasks] == [1000, 1000, 503]
+
+
+def test_parse_range_matches_chunks(tmp_path):
+    """Range-parsed task union == whole-file parse (native + fallback)."""
+    from evstore_tpu.data.criteo import (_chunks_of, _parse_range,
+                                         _scan_chunk_offsets)
+    txt = make_synthetic_criteo_txt(str(tmp_path / "t.txt"), n=1200, seed=2,
+                                    vocab=80)
+    whole = list(_chunks_of(txt, 10 ** 9))[0]
+    parts = [_parse_range(txt, lo, hi, nl)
+             for lo, hi, nl in _scan_chunk_offsets(txt, 500)]
+    lab = np.concatenate([p[0] for p in parts])
+    den = np.concatenate([p[1] for p in parts])
+    cat = np.concatenate([p[2] for p in parts])
+    np.testing.assert_array_equal(lab, whole[0])
+    np.testing.assert_array_equal(den, whole[1])
+    np.testing.assert_array_equal(cat, whole[2])

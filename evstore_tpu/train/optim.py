@@ -176,6 +176,41 @@ PAD_ROW = jnp.iinfo(jnp.int32).max
 # buffer costs more than the rep-trick's D=1 map (v5e-measured crossover)
 DENSE_GRAD_LIMIT_BYTES = 64 << 20
 
+# Above DENSE_GRAD_LIMIT_BYTES the Pallas tile-sweep kernel
+# (ops/pallas_update.py) replaces the rep-trick for rwsadagrad: XLA's row
+# scatter/take serialize (~135 ns/row; ~13 ms per 1M-row table in the
+# 5-table program, scripts/profile_update.py) while the sweep runs at HBM
+# bandwidth.  The sweep reads+writes the WHOLE table though, so huge
+# (terabyte-shard) tables fall back to the sort path when the sweep bytes
+# exceed the scatter's serialized cost: one scattered row ~135 ns buys
+# ~75.6 kB of sequential HBM traffic on v5e.
+SWEEP_BYTES_PER_SCATTERED_ROW = 75_600
+
+
+# The sweep wins its isolated A/B 2.74x (scripts/bench_pallas_update.py:
+# 23.9 vs 65.6 ms for 5x1M tables) but currently LOSES in the full train
+# step (60.8 vs 49.1 ms — scheduling interaction under investigation,
+# scripts/profile_pallas_integration.py), so it is opt-in until the
+# in-program number wins: ESV_PALLAS_SWEEP=1.
+import os as _os
+PALLAS_SWEEP_ENABLED = _os.environ.get("ESV_PALLAS_SWEEP", "0") == "1"
+
+
+def _use_pallas_sweep(n: int, d: int, b: int, name: str) -> bool:
+    if not PALLAS_SWEEP_ENABLED:
+        return False
+    if name != "rwsadagrad" or d > 128:
+        return False
+    if n * d * 4 <= DENSE_GRAD_LIMIT_BYTES:
+        return False
+    if n * d * 8 > b * SWEEP_BYTES_PER_SCATTERED_ROW:
+        return False
+    try:
+        import jax
+        return jax.default_backend() == "tpu"
+    except Exception:   # pragma: no cover
+        return False
+
 
 def row_update(name: str, state, table: jnp.ndarray, ids: jnp.ndarray,
                grads: jnp.ndarray, lr, eps: float = 1e-10):
@@ -201,6 +236,10 @@ def row_update(name: str, state, table: jnp.ndarray, ids: jnp.ndarray,
     b = ids.shape[0]
     d = table.shape[1]
     g = grads.astype(jnp.float32)
+
+    if _use_pallas_sweep(n, d, b, name):
+        from evstore_tpu.ops.pallas_update import rwsadagrad_row_update_pallas
+        return rwsadagrad_row_update_pallas(state, table, ids, g, lr)
 
     if n * d * 4 <= DENSE_GRAD_LIMIT_BYTES:
         G = jnp.zeros((n, d), jnp.float32).at[ids].add(g, mode="drop")

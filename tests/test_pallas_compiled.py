@@ -63,3 +63,39 @@ def test_pallas_kernels_compiled_match_xla():
     r = _run_on_tpu(code)
     assert r.returncode == 0, r.stderr[-3000:]
     assert "PALLAS-COMPILED-OK" in r.stdout
+
+
+def test_pallas_update_compiled_matches_xla():
+    """Fused rwsadagrad sweep kernel (ops/pallas_update.py), COMPILED on
+    the real chip, vs the dup-tolerant scatter reference."""
+    probe = _run_on_tpu("import jax; print(jax.devices()[0].platform)",
+                        timeout=120)
+    if probe.returncode != 0 or probe.stdout.strip().splitlines()[-1] not in (
+            "tpu", "axon"):
+        pytest.skip(f"no TPU backend reachable: {probe.stdout[-200:]!r}")
+    code = textwrap.dedent("""
+        import jax, numpy as np, jax.numpy as jnp
+        jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+        from evstore_tpu.ops.pallas_update import (
+            rwsadagrad_apply_sorted_ref, rwsadagrad_row_update_pallas)
+        rng = np.random.default_rng(0)
+        N, D, B = 100_000, 36, 8192
+        table = jnp.asarray(rng.uniform(-0.1, 0.1, (N, D)).astype(np.float32))
+        state = jnp.zeros((N,), jnp.float32)
+        ids = np.asarray(rng.integers(0, N, B), np.int32)
+        ids[rng.random(B) < 0.3] = 7
+        ids = jnp.asarray(ids)
+        g = jnp.asarray(rng.normal(0, 1e-3, (B, D)).astype(np.float32))
+        ref_t, ref_s = jax.jit(rwsadagrad_apply_sorted_ref)(
+            table, state, ids, g, 0.1)
+        new_s, new_t = rwsadagrad_row_update_pallas(state, table, ids, g,
+                                                    0.1)   # COMPILED
+        np.testing.assert_allclose(np.asarray(new_s), np.asarray(ref_s),
+                                   rtol=1e-4, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(new_t), np.asarray(ref_t),
+                                   rtol=1e-4, atol=1e-5)
+        print("PALLAS-UPDATE-COMPILED-OK")
+    """)
+    r = _run_on_tpu(code)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "PALLAS-UPDATE-COMPILED-OK" in r.stdout

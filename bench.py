@@ -64,15 +64,26 @@ def device_sync(x) -> float:
 def measure_sync_overhead_ms(n=7) -> float:
     """Median cost of the device_sync fence itself (tunnel roundtrip +
     tiny-kernel dispatch) — the constant the slope method cancels."""
+    return measure_sync_overhead_stats(n)["median_ms"]
+
+
+def measure_sync_overhead_stats(n=15) -> dict:
+    """Fence-cost distribution (median + p10/p90 spread).  Subtracting the
+    MEDIAN from a measured latency is an ESTIMATE — the p10/p90 band is
+    carried alongside any net-of-fence figure so the hidden variance is
+    visible (VERDICT r2 weak #6)."""
     import jax.numpy as jnp
     x = jnp.ones((8,), jnp.float32)
     device_sync(x)
     ts = []
-    for _ in range(n):
+    for _ in range(max(n, 3)):
         t0 = time.perf_counter()
         device_sync(x)
         ts.append(time.perf_counter() - t0)
-    return float(np.median(ts) * 1e3)
+    a = np.asarray(ts) * 1e3
+    return {"median_ms": float(np.median(a)),
+            "p10_ms": float(np.percentile(a, 10)),
+            "p90_ms": float(np.percentile(a, 90))}
 
 
 # --------------------------------------------------------------- roofline
@@ -342,11 +353,14 @@ def bench_infer(cfg, B=32768, n_lo=20, n_hi=80):
 # --------------------------------------------------------------- cache tiers
 
 def bench_device_cache(cfg, B=1024, n_steps=60, n_warmup=20,
-                       cache_rows=200_000, sync_ms=0.0):
+                       cache_rows=200_000, sync_ms=0.0, sync_stats=None):
     """EVStore C1 tier on-device (native assigner): examples/s + p99
     per-batch latency with a zipf stream over a host-DRAM backing store.
     Each batch is fenced with a real transfer; per-batch latencies are
-    reported raw and net of the measured fence overhead (sync_ms)."""
+    reported raw and net of the measured fence overhead (sync_ms).  The
+    net figures subtract the MEDIAN fence cost and are therefore
+    estimates; sync_stats (measure_sync_overhead_stats) adds the p10/p90
+    fence band so the inherited variance is explicit."""
     from evstore_tpu.cache.device_cache import NativeDeviceC1Cache
     from evstore_tpu.config import CacheConfig
 
@@ -377,17 +391,27 @@ def bench_device_cache(cfg, B=1024, n_steps=60, n_warmup=20,
             n += B
     dt = time.perf_counter() - t_start
     s = dc.stats()
-    net = lambda q: max(float(np.percentile(lats, q) * 1e3) - sync_ms, 0.0)
-    return {
+    net = lambda q, sub=sync_ms: max(
+        float(np.percentile(lats, q) * 1e3) - sub, 0.0)
+    out = {
         "examples_per_s": n / dt,
         "p50_batch_ms_raw": float(np.percentile(lats, 50) * 1e3),
         "p99_batch_ms_raw": float(np.percentile(lats, 99) * 1e3),
         "p50_batch_ms": net(50),
         "p99_batch_ms": net(99),
         "p99_lookup_us_per_req": net(99) * 1e3 / B,
+        "net_method": "median-fence subtraction (estimate)",
         "hit_rate": s["hit_rate"],
         "hbm_mb": s["hbm_bytes"] / 1e6,
     }
+    if sync_stats:
+        out["fence_ms_band"] = [sync_stats["p10_ms"], sync_stats["p90_ms"]]
+        # net-of-fence spread: subtracting p90 vs p10 fence cost
+        out["p99_batch_ms_band"] = [net(99, sync_stats["p90_ms"]),
+                                    net(99, sync_stats["p10_ms"])]
+        out["p99_lookup_us_per_req_band"] = [
+            v * 1e3 / B for v in out["p99_batch_ms_band"]]
+    return out
 
 
 def bench_hybrid_tiers(cfg, B=1024, n_steps=30, total_size=24_000):
@@ -656,8 +680,11 @@ def main():
                                "this tunnel (see bench.py docstring)")}
 
     log("bench: sync fence overhead...")
-    sync_ms = measure_sync_overhead_ms()
+    sync_stats = measure_sync_overhead_stats()
+    sync_ms = sync_stats["median_ms"]
     results["tunnel_roundtrip_ms"] = sync_ms
+    results["tunnel_roundtrip_ms_band"] = [sync_stats["p10_ms"],
+                                           sync_stats["p90_ms"]]
     log(f"  {sync_ms:.1f} ms")
 
     log("bench: matmul ceiling + HBM bandwidth...")
@@ -721,7 +748,8 @@ def main():
     log(f"  {inf_eps:,.0f} examples/s (MFU {results['infer_mfu']:.3f})")
 
     log("bench: device C1 cache (int8 HBM rows, zipf)...")
-    results["device_cache"] = bench_device_cache(cfg, sync_ms=sync_ms)
+    results["device_cache"] = bench_device_cache(cfg, sync_ms=sync_ms,
+                                             sync_stats=sync_stats)
     log(f"  {json.dumps(results['device_cache'])}")
 
     log("bench: hybrid tiers (device C1 + host C2 + C3)...")

@@ -164,12 +164,10 @@ class LFU:
     def __len__(self):
         return len(self.vals)
 
-    def get(self, key):
-        self.n_lookups += 1
-        ev = self.vals.get(key)
-        if ev is None:
-            return None
-        self.n_hits += 1
+    def _touch(self, key):
+        """Promote `key` one frequency bucket (no hit/lookup accounting —
+        callers decide whether the access counts as a user lookup)."""
+        ev = self.vals[key]
         value, freq = ev
         del self.buckets[freq][key]
         nf = freq + 1
@@ -179,12 +177,17 @@ class LFU:
             self.min_freq = nf
         return value
 
+    def get(self, key):
+        self.n_lookups += 1
+        if key not in self.vals:
+            return None
+        self.n_hits += 1
+        return self._touch(key)
+
     def set(self, key, value):
         if key in self.vals:
             self.vals[key][0] = value
-            self.get(key)
-            self.n_lookups -= 1  # internal touch, not a user lookup
-            self.n_hits -= 1
+            self._touch(key)     # internal touch, not a user lookup
             return
         if len(self.vals) >= self.cap:
             while not self.buckets.get(self.min_freq):

@@ -19,16 +19,19 @@ and accumulates
 The one-hot compare self-masks: rows belonging to neighboring tiles (or
 PAD) produce no match, so boundary chunks shared by two tiles are simply
 processed by both — no per-row control flow anywhere.  Duplicate ids
-coalesce by matmul summation (no unique/segment_sum needed).  Then the
-whole rwsadagrad step runs vectorized on the tile:
+coalesce by matmul summation (no unique/segment_sum needed).  The kernel
+is a PURE LINEAR scatter-subtract (table -= scatter(rows, vals)); the
+rwsadagrad state math runs in XLA on compact [B] / flat [N] operands with
+per-entry pre-scaling (see rwsadagrad_row_update_pallas) — a [N, 1] state
+block inside the kernel would be lane-padded x128 in HBM (~1 GB/step of
+state traffic per 1M-row table; measured +1.5 ms vs the table-only sweep).
 
-    G        = sum of grads per row (0 for untouched rows)
-    state   += mean(G^2, axis=1)            [row-wise accumulator,
-                                             optim/rwsadagrad.py:109-113]
-    table   -= lr * G / (sqrt(state) + eps)
-
-Traffic = table r/w + state r/w + the update stream, all sequential; the
-matmul flops (~#chunks * TB*CHUNK*D) are noise on the MXU.
+Measured (fenced+slope, 1x v5e, B=32768): 5x1M-row bf16 tables update in
+15.0 ms vs 65.6 ms for the XLA rep-trick lowering in the same isolated
+program shape (4.4x); in the FULL train step XLA fuses the take-expansion
+into the update pass and reaches ~14 ms effective, so end-to-end the
+kernel is parity-minus-barrier-costs (52.1 vs 49.1 ms step) and stays
+opt-in (ESV_PALLAS_SWEEP=1).  Full postmortem: EXPERIMENTS §17.
 
 Reference semantics: optim/rwsadagrad.py:109-113 (sparse path); exactness
 vs optim.row_update's other lowerings is cross-checked in
@@ -52,9 +55,16 @@ CHUNK = 128             # update-stream DMA granularity (rows)
 NBUF = 2                # double buffer
 
 
-def _rws_kernel(starts_ref, lr_ref, table_ref, state_ref, gc_hbm, rows_hbm,
-                table_out, state_out, gtile, gcbuf, rowbuf, gsems, rsems,
-                *, tb, d):
+def _sub_sweep_kernel(starts_ref, table_ref, gc_hbm, rows_hbm,
+                      table_out, gtile, gcbuf, rowbuf, gsems, rsems,
+                      *, tb, d):
+    """table_out = table - scatter(rows, vals): the pure linear sweep.
+
+    All optimizer state math happens in XLA on compact/flat operands (see
+    rwsadagrad_row_update_pallas) — a [N, 1] state input here would be
+    lane-padded x128 in HBM, costing ~1 GB/step of state traffic per
+    1M-row table (measured: the empty sweep WITH state cost 4.9 ms; the
+    table-only sweep is the bandwidth floor)."""
     i = pl.program_id(0)
     base = i * tb
     lo = starts_ref[i]
@@ -100,27 +110,21 @@ def _rws_kernel(starts_ref, lr_ref, table_ref, state_ref, gc_hbm, rows_hbm,
 
     lax.fori_loop(0, nch, chunk_body, 0)
 
-    g = gtile[...]                                    # [TB, D] f32
-    st = state_ref[...]                               # [TB, 1] f32
-    new_st = st + jnp.mean(g * g, axis=1, keepdims=True)
-    upd = (lr_ref[0] * g) / (jnp.sqrt(new_st) + EPS)
-    table_out[...] = (table_ref[...].astype(jnp.float32) - upd
+    table_out[...] = (table_ref[...].astype(jnp.float32) - gtile[...]
                       ).astype(table_out.dtype)
-    state_out[...] = new_st
 
 
 @functools.partial(jax.jit,
                    static_argnames=("tile_rows", "interpret"))
-def rwsadagrad_apply_sorted(table, state, rows2d, gc_pad, starts, lr, *,
-                            tile_rows: int = 2048, interpret: bool = False):
-    """Fused apply over SORTED raw updates.
+def scatter_sub_sweep(table, rows2d, gc_pad, starts, *,
+                      tile_rows: int = 4096, interpret: bool = False):
+    """new_table = table - scatter_add(rows, vals) over SORTED raw entries.
 
-    table [N, D] (f32/bf16), state [N] f32, rows2d [nchunks, CHUNK] i32 of
-    ascending row ids (out-of-range/PAD entries inert), gc_pad
-    [nchunks*CHUNK, GC_LANES] f32 with grads aligned to rows2d's
-    flattening in [:, :D], starts [n_tiles+1] i32 (searchsorted tile
-    boundaries into the flattened rows), lr scalar.
-    Returns (new_table, new_state).
+    table [N, D] (f32/bf16), rows2d [nchunks, CHUNK] i32 of ascending row
+    ids (out-of-range/PAD entries inert), gc_pad [nchunks*CHUNK, GC_LANES]
+    f32 with the (pre-scaled) update values aligned to rows2d's flattening
+    in [:, :D], starts [n_tiles+1] i32 (searchsorted tile boundaries into
+    the flattened rows).
     """
     n, d = table.shape
     tb = tile_rows
@@ -130,16 +134,11 @@ def rwsadagrad_apply_sorted(table, state, rows2d, gc_pad, starts, lr, *,
         num_scalar_prefetch=1,                 # starts
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),          # lr [1]
             pl.BlockSpec((tb, d), lambda i, starts: (i, 0)),
-            pl.BlockSpec((tb, 1), lambda i, starts: (i, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),           # gc (HBM)
             pl.BlockSpec(memory_space=pltpu.ANY),           # rows (HBM)
         ],
-        out_specs=[
-            pl.BlockSpec((tb, d), lambda i, starts: (i, 0)),
-            pl.BlockSpec((tb, 1), lambda i, starts: (i, 0)),
-        ],
+        out_specs=pl.BlockSpec((tb, d), lambda i, starts: (i, 0)),
         scratch_shapes=[
             pltpu.VMEM((tb, d), jnp.float32),               # gtile
             pltpu.VMEM((NBUF, CHUNK, GC_LANES), jnp.float32),
@@ -148,28 +147,33 @@ def rwsadagrad_apply_sorted(table, state, rows2d, gc_pad, starts, lr, *,
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
-    kernel = functools.partial(_rws_kernel, tb=tb, d=d)
-    new_table, new_state2 = pl.pallas_call(
+    kernel = functools.partial(_sub_sweep_kernel, tb=tb, d=d)
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((n, d), table.dtype),
-                   jax.ShapeDtypeStruct((n, 1), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((n, d), table.dtype),
         interpret=interpret,
-    )(starts,
-      jnp.reshape(lr, (1,)).astype(jnp.float32),
-      table, state.reshape(n, 1).astype(jnp.float32), gc_pad, rows2d)
-    return new_table, new_state2.reshape(n)
+    )(starts, table, gc_pad, rows2d)
 
 
 def rwsadagrad_row_update_pallas(state, table, ids, grads, lr, *,
-                                 tile_rows: int = 2048,
+                                 tile_rows: int = 4096,
                                  interpret: bool = False):
     """Drop-in for optim.row_update's rwsadagrad path on big tables.
 
     ids [B] raw row ids (duplicates fine; PAD_ROW/out-of-range entries are
-    inert), grads [B, D] per-sample row grads.  XLA-side prep = argsort +
-    payload gather + lane pad (all VMEM-sized operands), then one kernel
-    sweep.  Returns (new_state, new_table) in row_update's order.
+    inert), grads [B, D] per-sample row grads.  Returns
+    (new_state, new_table) in row_update's order.
+
+    Split of labor (all XLA operands are compact [B]-domain or flat [N]):
+      XLA   argsort ids; coalesce duplicates by sorted-segment sum; state
+            increment via a D=1 scatter-add into the FLAT [N] accumulator
+            (1D arrays aren't lane-padded; measured cheap); per-entry
+            scale = lr / (sqrt(new_state_row) + eps) — LINEAR in each raw
+            entry, so scaling entries then summing in the kernel is exact:
+            lr * (sum g_i) / denom == sum (lr * g_i / denom).
+      Pallas  one bandwidth sweep over the table subtracting the scatter
+            of the pre-scaled entries (scatter_sub_sweep).
     """
     n, d = table.shape
     b = ids.shape[0]
@@ -177,19 +181,40 @@ def rwsadagrad_row_update_pallas(state, table, ids, grads, lr, *,
     # out-of-range ids sort to the end; searchsorted excludes them.  NBUF
     # slack chunks guard the double-buffer prefetch beyond the last chunk.
     order = jnp.argsort(ids)
-    rows_sorted = jnp.take(ids, order)
+    rows_sorted = jnp.take(ids, order).astype(jnp.int32)
     g_sorted = jnp.take(g, order, axis=0)
+
+    # sorted-segment coalesce: Gc[k] = summed grads of the k-th segment
+    first = jnp.concatenate([jnp.ones((1,), bool),
+                             rows_sorted[1:] != rows_sorted[:-1]])
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1               # [B]
+    Gc = jax.ops.segment_sum(g_sorted, seg, num_segments=b,
+                             indices_are_sorted=True)           # [B, D]
+    valid = rows_sorted < n                                     # PAD inert
+    seg_row = jnp.full((b,), jnp.iinfo(jnp.int32).max, jnp.int32
+                       ).at[seg].min(jnp.where(valid, rows_sorted,
+                                               jnp.iinfo(jnp.int32).max),
+                                     mode="drop")               # [B]
+    inc = jnp.mean(Gc * Gc, axis=1)                             # [B]
+    seg_valid = seg_row < n
+    inc = jnp.where(seg_valid, inc, 0.0)
+    # rwsadagrad state: momentum[row] += mean(G_row^2)
+    new_state = state.at[seg_row].add(inc, mode="drop")
+    st_rows = state.at[seg_row].get(mode="fill", fill_value=0.0) + inc
+    denom_seg = jnp.sqrt(st_rows) + EPS                         # [B] per-seg
+    scale = jnp.take(lr / denom_seg, seg)                       # [B] per-entry
+    g_scaled = g_sorted * scale[:, None]
+
     nch = -(-b // CHUNK) + NBUF + 1
     rows_pad = jnp.full((nch * CHUNK,), jnp.iinfo(jnp.int32).max, jnp.int32)
-    rows_pad = lax.dynamic_update_slice(rows_pad,
-                                        rows_sorted.astype(jnp.int32), (0,))
+    rows_pad = lax.dynamic_update_slice(rows_pad, rows_sorted, (0,))
     gc_pad = jnp.zeros((nch * CHUNK, GC_LANES), jnp.float32)
-    gc_pad = lax.dynamic_update_slice(gc_pad, g_sorted, (0, 0))
+    gc_pad = lax.dynamic_update_slice(gc_pad, g_scaled, (0, 0))
     n_tiles = -(-n // tile_rows)
     bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * tile_rows
     starts = jnp.searchsorted(rows_sorted, bounds).astype(jnp.int32)
-    new_table, new_state = rwsadagrad_apply_sorted(
-        table, state, rows_pad.reshape(nch, CHUNK), gc_pad, starts, lr,
+    new_table = scatter_sub_sweep(
+        table, rows_pad.reshape(nch, CHUNK), gc_pad, starts,
         tile_rows=tile_rows, interpret=interpret)
     return new_state, new_table
 

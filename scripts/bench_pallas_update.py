@@ -113,7 +113,15 @@ def main():
     def pallas_update(s, t, i, gg, lr):
         return rwsadagrad_row_update_pallas(s, t, i, gg, lr)
 
+    # sweep-only diagnostic: every update PAD -> all tiles empty; cost =
+    # table+state r/w pipeline alone (the bandwidth floor of the kernel)
+    pad_ids = jnp.full((B,), np.iinfo(np.int32).max, jnp.int32)
+
+    def pallas_sweep_only(s, t, i, gg, lr):
+        return rwsadagrad_row_update_pallas(s, t, pad_ids, gg, lr)
+
     one_table(pallas_update, "pallas_1x1M")
+    one_table(pallas_sweep_only, "pallas_sweep_only")
     one_table(xla_update, "xla_1x1M")
     five_tables(pallas_update, "pallas_5x1M")
     five_tables(xla_update, "xla_5x1M")

@@ -201,12 +201,14 @@ def _batches(cfg, B, n, seed=0, zipf=False):
     return list(random_batches(dcfg))
 
 
-def bench_train(cfg, B=32768, n_lo=10, n_hi=40, n_windows=3):
+def bench_train(cfg, B=65536, n_lo=10, n_hi=40, n_windows=3):
     """Device-resident ("staged") training throughput: n steps scanned in
     ONE dispatch over 8 staged batches, fenced by transferring the final
     loss; slope of (n_hi - n_lo) cancels dispatch/tunnel constants.
-    B=32768: measured v5e saturation (step time is launch/HBM-latency-bound
-    at small batch); within the MLPerf DLRM global-batch recipe."""
+    B=65536: top of the honest saturation sweep (scripts/b_saturation.py,
+    EXPERIMENTS 11: 666k ex/s @32k -> 727k @64k; serialization-bound
+    gather/update components amortize with B) and the top of the MLPerf
+    DLRM global-batch recipe."""
     import functools
     import jax
     import jax.numpy as jnp
@@ -250,7 +252,7 @@ def bench_train(cfg, B=32768, n_lo=10, n_hi=40, n_windows=3):
     return B / per_step, per_step
 
 
-def bench_train_pipelined(cfg, B=32768, n_lo=8, n_hi=24):
+def bench_train_pipelined(cfg, B=65536, n_lo=8, n_hi=24):
     """End-to-end variant: batches flow from the packed binary file through
     the prefetch loader (host parse + log1p + host->device transfer in the
     loop), as VERDICT round-1 item 1 requires.  Fenced + slope-timed the
@@ -315,7 +317,7 @@ def bench_train_pipelined(cfg, B=32768, n_lo=8, n_hi=24):
     return B / per_step, per_step
 
 
-def bench_infer(cfg, B=32768, n_lo=20, n_hi=80):
+def bench_infer(cfg, B=65536, n_lo=20, n_hi=80):
     """Forward-only throughput, scanned on device and fenced (see above)."""
     import functools
     import jax
@@ -625,6 +627,48 @@ def bench_cached_training(cfg, B=2048, n_steps=24, cache_rows=500_000):
     s = tc.stats()
     tc.close()
     total_rows = sum(sizes)
+
+    # Dispatch-dominated regime (the windowed megastep's home turf): tiny
+    # per-batch payloads + warm cache, so the per-batch mode's cost is one
+    # ~34 ms tunnel roundtrip per 256 examples while the megastep pays one
+    # per 16 batches.  The B=2048 pair above is transfer-bound on this
+    # tunnel (~25 MB/s h2d / ~19 MB/s d2h, scripts/profile_cached.py) —
+    # both modes ship the same miss/writeback bytes there, hence its
+    # ratio ~1.1x (EXPERIMENTS §18).
+    def run_small(windowed, B2=256, W2=16, n_windows=9, warm_w=5):
+        tc = TrainableDeviceCache(cfg, tcfg, ccfg, tables,
+                                  insert_bucket=2048)
+        params = init_dlrm(jax.random.PRNGKey(0), cfg)
+        dense = params.dense
+        dstate = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p, dtype=jnp.float32), params.dense)
+        t2 = TrainConfig(batch_size=B2, learning_rate=0.1,
+                         optimizer="rwsadagrad")
+        d2 = RandomDataConfig(num_dense=cfg.num_dense_features,
+                              table_sizes=sizes, batch_size=B2,
+                              num_batches=n_windows * W2, seed=4,
+                              distribution="zipf", zipf_alpha=1.5)
+        bs = list(random_batches(d2))
+        gen = (tc.train_batches_windowed(dense, dstate, bs, window=W2)
+               if windowed else tc.train_batches(dense, dstate, bs))
+        t0 = None
+        n = 0
+        warm = warm_w * W2 - 1
+        loss = None
+        for k, (dense, dstate, loss) in enumerate(gen):
+            if k == warm:
+                device_sync(loss)
+                t0 = time.perf_counter()
+            elif t0 is not None and k > warm:
+                n += B2
+        device_sync(loss)
+        dt = time.perf_counter() - t0
+        tc.close()
+        return n / dt
+
+    small_pb = run_small(False)
+    small_wd = run_small(True)
+
     return {
         "examples_per_s": n / dt,
         "examples_per_s_per_batch_mode": per_batch,
@@ -632,6 +676,11 @@ def bench_cached_training(cfg, B=2048, n_steps=24, cache_rows=500_000):
         "hbm_mb": s["hbm_bytes"] / 1e6,
         "full_table_mb": total_rows * cfg.embedding_dim * 4 / 1e6,
         "hit_rate": s["hit_rate"],
+        "dispatch_bound_B256": {
+            "examples_per_s_windowed": small_wd,
+            "examples_per_s_per_batch": small_pb,
+            "windowed_speedup": small_wd / max(small_pb, 1e-9),
+        },
     }
 
 
@@ -702,7 +751,7 @@ def main():
         f"HBM {meas_bw:.0f} GB/s (nominal {peak_bw_nominal/1e9:.0f})")
 
     log("bench: train (staged, on-device scan)...")
-    B = 32768
+    B = 65536
     train_eps, step_s = bench_train(cfg, B=B)
     fl_train = model_flops_per_example(cfg, training=True)
     by_train = model_train_bytes_per_example(cfg, B)

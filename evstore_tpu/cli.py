@@ -129,9 +129,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute-dtype", type=str, default="bfloat16")
     p.add_argument("--use-pallas-gather", type=_str_bool, default=False,
                    help="Pallas double-buffered row gather on the eval/"
-                        "inference path (measured 1.43x eval-only at dim "
-                        "128; the train step always uses the XLA gather — "
-                        "see train_loop.py)")
+                        "inference path (honest fenced A/B on v5e: eval "
+                        "0.35x — loses to XLA fusion, EXPERIMENTS §9; the "
+                        "knob exists for other TPU generations)")
     p.add_argument("--use-pallas-interaction", type=_str_bool, default=False,
                    help="fused Pallas dot-interaction kernel (wins in "
                         "isolation, loses end-to-end to XLA fusion — "

@@ -56,10 +56,11 @@ class DLRMConfig:
     # Pallas DMA row-gather for plain-table lookups in INFERENCE paths
     # (models/embedding.py).  Only engages when rows are 128-lane aligned
     # (D % 128 == 0, e.g. the MLPerf dim-128 recipe) on a TPU backend;
-    # otherwise silently falls back to the XLA gather.  Measured on v5e at
-    # dim 128 / B 8192 (scripts/ab_pallas_gather.py): eval 1.43x, but the
-    # TRAIN step 0.56x (fusion barrier in fwd+bwd+update) — train_loop
-    # therefore always uses the XLA gather.
+    # otherwise silently falls back to the XLA gather.  Honest fenced A/B
+    # on v5e at dim 128 / B 8192 (scripts/ab_pallas_gather.py, EXPERIMENTS
+    # §9): eval 0.35x, train 1.0x — the kernel wins only in kernel-level
+    # isolation, so this stays False on v5e; the knob exists for other
+    # TPU generations.
     use_pallas_gather: bool = False
     weighted_pooling: Optional[str] = None   # None | "learned" | "fixed"
     loss_threshold: float = 0.0              # clamp predictions (dlrm_s_pytorch.py:1034)

@@ -95,12 +95,12 @@ def make_train_step(cfg: DLRMConfig, tcfg: TrainConfig):
         plain, fact = _split_sparse(params.sparse)
         pool_w = _pool_weights(params.sparse)
         # gather rows for plain tables (the only autodiff entry point into
-        # them).  Always the XLA gather here: the Pallas DMA gather was
-        # measured 0.56x END-TO-END in the train step (dim 128, B 8192,
-        # v5e — pallas_call is a fusion barrier in the fwd+bwd+update
-        # program; scripts/ab_pallas_gather.py) while winning 1.43x in the
-        # eval-only program, so cfg.use_pallas_gather applies to inference
-        # paths (models/embedding.py) only.
+        # them).  Always the XLA gather here: the Pallas DMA gather loses
+        # END-TO-END on v5e (honest fenced A/B, dim 128 B 8192: eval
+        # 0.35x, train ~1.0x — pallas_call is a fusion/scheduling
+        # barrier; scripts/ab_pallas_gather.py, EXPERIMENTS §9), so
+        # cfg.use_pallas_gather is an off-by-default knob for inference
+        # paths (models/embedding.py) on other TPU generations.
         plain_rows = {name: jnp.take(tab, flat_ids(int(name.split("_")[1])),
                                      axis=0)
                       for name, tab in plain.items()}

@@ -104,8 +104,12 @@ def _sub_sweep_kernel(starts_ref, table_ref, gc_hbm, rows_hbm,
         local = rowbuf[lax.rem(c, NBUF)] - base              # [1, CHUNK]
         onehot = (iota == local).astype(jnp.float32)         # [TB, CHUNK]
         g = gcbuf[lax.rem(c, NBUF)][:, :d]                   # [CHUNK, D]
+        # HIGHEST: the MXU's default f32 path multiplies via bf16 passes,
+        # which rounds the update values (~1% error vs the XLA scatter);
+        # full-precision passes keep the kernel exactness-equivalent
         gtile[...] = gtile[...] + jnp.dot(
-            onehot, g, preferred_element_type=jnp.float32)
+            onehot, g, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         return carry
 
     lax.fori_loop(0, nch, chunk_body, 0)

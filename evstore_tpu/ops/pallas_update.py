@@ -27,8 +27,10 @@ block inside the kernel would be lane-padded x128 in HBM (~1 GB/step of
 state traffic per 1M-row table; measured +1.5 ms vs the table-only sweep).
 
 Measured (fenced+slope, 1x v5e, B=32768): 5x1M-row bf16 tables update in
-15.0 ms vs 65.6 ms for the XLA rep-trick lowering in the same isolated
-program shape (4.4x); in the FULL train step XLA fuses the take-expansion
+21.9 ms vs 65.7 ms for the XLA rep-trick lowering in the same isolated
+program shape (3.0x at Precision.HIGHEST — exactness-equivalent; 15.0 ms
+with default MXU passes that bf16-round the values ~1%); in the FULL
+train step XLA fuses the take-expansion
 into the update pass and reaches ~14 ms effective, so end-to-end the
 kernel is parity-minus-barrier-costs (52.1 vs 49.1 ms step) and stays
 opt-in (ESV_PALLAS_SWEEP=1).  Full postmortem: EXPERIMENTS §17.

@@ -366,9 +366,25 @@ def _pp_pass1_worker(task):
     return len(labels), [np.unique(cats[:, t]) for t in range(NUM_SPARSE)]
 
 
+# Fork-shared dictionaries for pass-2 workers: set by the parent right
+# before creating the pass-2 pool, inherited copy-on-write by fork (the
+# sorted key arrays are never written in workers, so no copies happen).
+_PP_DICTS = None
+
+
 def _pp_pass2_worker(task):
+    """Parse a byte range and, when the fork-shared dictionaries are
+    present, MAP the categorical columns worker-side (the expensive
+    26-column searchsorted) — the parent then only subsamples and writes,
+    keeping it off the critical path."""
     path, lo, hi, n_lines, _fi = task
-    return _parse_range(path, lo, hi, n_lines)
+    labels, dense, cats = _parse_range(path, lo, hi, n_lines)
+    if _PP_DICTS is None:
+        return labels, dense, cats, False
+    mapped = np.empty(cats.shape, np.int32)
+    for t in range(NUM_SPARSE):
+        mapped[:, t] = _PP_DICTS.map(t, cats[:, t])
+    return labels, dense, mapped, True
 
 
 def preprocess_criteo_streaming(inputs, out_dir: str, days: int = 7,
@@ -446,19 +462,24 @@ def preprocess_criteo_streaming(inputs, out_dir: str, days: int = 7,
 
     if parallel:
         def chunk_source():
-            with ctx.Pool(num_workers) as pool:
-                for task, parsed in zip(tasks,
-                                        pool.imap(_pp_pass2_worker, tasks,
-                                                  chunksize=1)):
-                    yield task[4], parsed   # (file index, (lab, dense, cat))
+            global _PP_DICTS
+            _PP_DICTS = dicts          # fork-shared with pass-2 workers
+            try:
+                with ctx.Pool(num_workers) as pool:
+                    for task, parsed in zip(tasks,
+                                            pool.imap(_pp_pass2_worker,
+                                                      tasks, chunksize=1)):
+                        yield task[4], parsed   # (file idx, chunk tuple)
+            finally:
+                _PP_DICTS = None
     else:
         def chunk_source():
             for fi, p in enumerate(paths):
-                for parsed in _chunks_of(p, chunk_rows):
-                    yield fi, parsed
+                for lab, den, cat in _chunks_of(p, chunk_rows):
+                    yield fi, (lab, den, cat, False)
 
     with open(bin_path, "wb") as out:
-        for fi, (labels, dense, cats) in chunk_source():
+        for fi, (labels, dense, cats, pre_mapped) in chunk_source():
             n = len(labels)
             keep = np.ones(n, bool)
             if sub_sample_rate > 0.0:
@@ -466,8 +487,11 @@ def preprocess_criteo_streaming(inputs, out_dir: str, days: int = 7,
             rec = np.empty((n, RECORD_INTS), np.int32)
             rec[:, 0] = labels
             rec[:, 1:1 + NUM_DENSE] = dense
-            for t in range(NUM_SPARSE):
-                rec[:, 1 + NUM_DENSE + t] = dicts.map(t, cats[:, t])
+            if pre_mapped:
+                rec[:, 1 + NUM_DENSE:] = cats
+            else:
+                for t in range(NUM_SPARSE):
+                    rec[:, 1 + NUM_DENSE + t] = dicts.map(t, cats[:, t])
             if per_day is None:
                 day = fi
                 rec[keep].tofile(out)

@@ -49,20 +49,44 @@ def pool_bags(rows: jnp.ndarray, weights: Optional[jnp.ndarray]) -> jnp.ndarray:
     return rows.sum(axis=1)
 
 
+# One-hot matmul gather cutoff.  XLA's row gather serializes (~17 ns/row
+# on v5e => ~0.55 ms per table at B=32768 REGARDLESS of table size), while
+# onehot(ids) @ table runs on the MXU at a cost governed by the [B, N]
+# one-hot materialization (~4*B*N bytes of traffic).  Crossover at
+# N ~ 2.5k for B=32k on v5e; EXACT: each output row sums exactly one
+# 1.0 * row product.  Measured in the full train step (EXPERIMENTS §20).
+ONEHOT_GATHER_MAX_ROWS = 2048
+
+
+def take_rows(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """Row lookup with a static lowering choice: tiny tables go through the
+    MXU one-hot matmul, big tables through the XLA gather."""
+    n = table.shape[0]
+    if n <= ONEHOT_GATHER_MAX_ROWS:
+        flat = ids.reshape(-1)
+        oh = (flat[:, None] == jnp.arange(n, dtype=ids.dtype)[None, :]
+              ).astype(table.dtype)
+        rows = jnp.dot(oh, table, preferred_element_type=jnp.float32
+                       ).astype(table.dtype)
+        return rows.reshape(*ids.shape, table.shape[1])
+    return jnp.take(table, ids, axis=0)
+
+
 def embedding_lookup(tables: Dict[str, jnp.ndarray], idx: jnp.ndarray,
                      compute_dtype=None,
                      bag_weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """idx: [B, T] (one-hot) or [B, T, L] (multi-hot bags, sum-pooled with
     optional bag_weights [B, T, L]) -> [B, T, D] rows.
 
-    One gather per table (tables have uneven row counts).  XLA fuses the
-    per-table gathers; for the sharded/cached paths see parallel/ and cache/.
+    One lookup per table (tables have uneven row counts); tiny tables take
+    the one-hot matmul lowering (take_rows).  For the sharded/cached paths
+    see parallel/ and cache/.
     """
     multi = idx.ndim == 3
     outs = []
     for t in range(idx.shape[1]):
         ids = idx[:, t]
-        rows = jnp.take(tables[f"table_{t}"], ids, axis=0)
+        rows = take_rows(tables[f"table_{t}"], ids)
         if multi:
             rows = pool_bags(rows, None if bag_weights is None
                              else bag_weights[:, t])

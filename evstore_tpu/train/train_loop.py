@@ -101,8 +101,9 @@ def make_train_step(cfg: DLRMConfig, tcfg: TrainConfig):
         # barrier; scripts/ab_pallas_gather.py, EXPERIMENTS §9), so
         # cfg.use_pallas_gather is an off-by-default knob for inference
         # paths (models/embedding.py) on other TPU generations.
-        plain_rows = {name: jnp.take(tab, flat_ids(int(name.split("_")[1])),
-                                     axis=0)
+        from evstore_tpu.models.embedding import take_rows
+        plain_rows = {name: take_rows(tab,
+                                      flat_ids(int(name.split("_")[1])))
                       for name, tab in plain.items()}
         w_rows = {name: jnp.take(w, flat_ids(int(name.split("_")[1])), axis=0)
                   for name, w in pool_w.items()}

@@ -65,9 +65,17 @@ def dot_interaction(x: jnp.ndarray, ly: jnp.ndarray,
                       preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)       # [B, F, F]
     S = jnp.asarray(_tril_select(F, self_interaction), x.dtype)
+    # f32 inputs need HIGHEST here too: the default MXU precision truncates
+    # the f32 gram to bf16 *before* the 0/1 selection, silently rounding the
+    # output (caught by the compiled Pallas parity test).  HIGHEST's 3-term
+    # bf16 operand split is exact for f32, and each output column sums
+    # exactly one gram element, so the selection stays value-identical to
+    # the gather.  bf16 compute (the flagship path) keeps the fast default.
+    sel_prec = (jax.lax.Precision.HIGHEST
+                if jnp.dtype(x.dtype).itemsize >= 4 else None)
     flat = jnp.dot(gram.reshape(B, F * F).astype(x.dtype), S,
-                   preferred_element_type=jnp.float32
-                   ).astype(x.dtype)                             # [B, P]
+                   preferred_element_type=jnp.float32,
+                   precision=sel_prec).astype(x.dtype)           # [B, P]
     return jnp.concatenate([x, flat], axis=1)
 
 

@@ -66,8 +66,16 @@ def take_rows(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
         flat = ids.reshape(-1)
         oh = (flat[:, None] == jnp.arange(n, dtype=ids.dtype)[None, :]
               ).astype(table.dtype)
-        rows = jnp.dot(oh, table, preferred_element_type=jnp.float32
-                       ).astype(table.dtype)
+        # f32 tables need HIGHEST: the default MXU precision would demote
+        # the f32 rows to bf16 inside the dot, silently rounding the lookup
+        # (same bug class as the interaction selection matmul).  HIGHEST's
+        # bf16-split is exact for f32, and each output row sums exactly one
+        # 1.0 * row product, so the result is bit-identical to jnp.take.
+        # bf16 tables keep the fast default (already exact: 1.0 * bf16).
+        prec = (jax.lax.Precision.HIGHEST
+                if table.dtype == jnp.float32 else None)
+        rows = jnp.dot(oh, table, preferred_element_type=jnp.float32,
+                       precision=prec).astype(table.dtype)
         return rows.reshape(*ids.shape, table.shape[1])
     return jnp.take(table, ids, axis=0)
 

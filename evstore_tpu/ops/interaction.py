@@ -71,8 +71,10 @@ def dot_interaction(x: jnp.ndarray, ly: jnp.ndarray,
     # bf16 operand split is exact for f32, and each output column sums
     # exactly one gram element, so the selection stays value-identical to
     # the gather.  bf16 compute (the flagship path) keeps the fast default.
+    # gate on f32 explicitly: the bf16-split is exact for f32 only (f64
+    # would need more terms; x64 is disabled here, so this is future-proofing)
     sel_prec = (jax.lax.Precision.HIGHEST
-                if jnp.dtype(x.dtype).itemsize >= 4 else None)
+                if x.dtype == jnp.float32 else None)
     flat = jnp.dot(gram.reshape(B, F * F).astype(x.dtype), S,
                    preferred_element_type=jnp.float32,
                    precision=sel_prec).astype(x.dtype)           # [B, P]

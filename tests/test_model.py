@@ -119,3 +119,21 @@ def test_bfloat16_compute():
     logits = dlrm_forward(params, dense, idx, cfg)
     assert logits.dtype == jnp.float32
     assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_take_rows_onehot_exact_f32():
+    # ADVICE r3 (medium): the one-hot MXU lowering must not round f32
+    # tables to bf16 — take_rows must be bit-identical to jnp.take for
+    # tiny tables in BOTH dtypes.
+    from evstore_tpu.models.embedding import ONEHOT_GATHER_MAX_ROWS, take_rows
+    rng = np.random.default_rng(3)
+    n = min(512, ONEHOT_GATHER_MAX_ROWS)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        # values with full mantissas (f32 rounds visibly if demoted to bf16)
+        table = jnp.asarray(rng.standard_normal((n, 36)) * 1.2345e-1, dtype)
+        ids = jnp.asarray(rng.integers(0, n, (257,)), jnp.int32)
+        got = jax.jit(take_rows)(table, ids)
+        want = jnp.take(table, ids, axis=0)
+        assert got.dtype == table.dtype
+        np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                      np.asarray(want, np.float32))

@@ -281,7 +281,11 @@ class LogKVStore:
     this supports WRITES, so trained rows can be persisted back."""
 
     def __init__(self, db_path: str, table_sizes: Sequence[int], dim: int,
-                 precision: int = 32):
+                 precision: int = 32, layout: str = "global"):
+        """layout="global": one log keyed by (table<<40)|row (reference
+        storage_rocksdb.py "tableId-rowId" single-DB scheme);
+        layout="per_table": one log file per EV table keyed by row
+        (storage_rocksdb_26_tabs.py:1 — the 26-tab layout variant)."""
         import ctypes
         from evstore_tpu.native import get_lib
         lib = get_lib()
@@ -307,9 +311,22 @@ class LogKVStore:
         self.precision = precision
         self.nb = row_nbytes(precision, dim)
         self.table_sizes = list(table_sizes)
-        self._h = lib.esv_kv_open(db_path.encode(), self.nb)
-        if not self._h:
-            raise OSError(f"esv_kv_open({db_path}) failed")
+        self.layout = layout
+        if layout == "per_table":
+            self._h = None
+            self._hs = []
+            for t in range(len(self.table_sizes)):
+                h = lib.esv_kv_open(f"{db_path}.t{t}".encode(), self.nb)
+                if not h:
+                    raise OSError(f"esv_kv_open({db_path}.t{t}) failed")
+                self._hs.append(h)
+        elif layout == "global":
+            self._hs = None
+            self._h = lib.esv_kv_open(db_path.encode(), self.nb)
+            if not self._h:
+                raise OSError(f"esv_kv_open({db_path}) failed")
+        else:
+            raise ValueError(f"unknown LogKV layout {layout!r}")
 
     @staticmethod
     def _keys(tables: np.ndarray, rows: np.ndarray) -> np.ndarray:
@@ -319,10 +336,15 @@ class LogKVStore:
     def put_rows(self, table: int, rows: np.ndarray, values: np.ndarray):
         """values fp32 [K, dim]; encoded at the store precision."""
         enc = encode_rows(np.asarray(values, np.float32), self.precision)
-        keys = self._keys(np.full(len(rows), table, np.int64),
-                          np.asarray(rows, np.int64))
+        if self.layout == "per_table":
+            h = self._hs[table]
+            keys = np.asarray(rows, np.int64).astype(np.uint64)
+        else:
+            h = self._h
+            keys = self._keys(np.full(len(rows), table, np.int64),
+                              np.asarray(rows, np.int64))
         rc = self._lib.esv_kv_put_batch(
-            self._h, np.ascontiguousarray(keys),
+            h, np.ascontiguousarray(keys),
             np.ascontiguousarray(enc).view(np.uint8).reshape(-1), len(rows))
         if rc != 0:
             raise OSError("esv_kv_put_batch failed")
@@ -336,10 +358,15 @@ class LogKVStore:
             mm = np.memmap(p, np.uint8, mode="r").reshape(n, self.nb)
             for s in range(0, n, chunk):
                 e = min(s + chunk, n)
-                keys = self._keys(np.full(e - s, t, np.int64),
-                                  np.arange(s, e, dtype=np.int64))
+                if self.layout == "per_table":
+                    h = self._hs[t]
+                    keys = np.arange(s, e, dtype=np.uint64)
+                else:
+                    h = self._h
+                    keys = self._keys(np.full(e - s, t, np.int64),
+                                      np.arange(s, e, dtype=np.int64))
                 rc = self._lib.esv_kv_put_batch(
-                    self._h, np.ascontiguousarray(keys),
+                    h, np.ascontiguousarray(keys),
                     np.ascontiguousarray(mm[s:e]).reshape(-1), e - s)
                 if rc != 0:
                     raise OSError("esv_kv_put_batch failed")
@@ -350,25 +377,42 @@ class LogKVStore:
 
     def get_batch(self, keys: Sequence[Key]) -> np.ndarray:
         ks = np.asarray(keys, np.int64).reshape(-1, 2)
-        packed = self._keys(ks[:, 0], ks[:, 1])
         out = np.empty((len(ks), self.nb), np.uint8)
-        self._lib.esv_kv_get_batch(self._h, np.ascontiguousarray(packed),
-                                   out.reshape(-1), len(ks))
+        if self.layout == "per_table":
+            for t in np.unique(ks[:, 0]):
+                sel = np.nonzero(ks[:, 0] == t)[0]
+                sub = np.empty((len(sel), self.nb), np.uint8)
+                self._lib.esv_kv_get_batch(
+                    self._hs[int(t)],
+                    np.ascontiguousarray(ks[sel, 1].astype(np.uint64)),
+                    sub.reshape(-1), len(sel))
+                out[sel] = sub
+        else:
+            packed = self._keys(ks[:, 0], ks[:, 1])
+            self._lib.esv_kv_get_batch(self._h, np.ascontiguousarray(packed),
+                                       out.reshape(-1), len(ks))
         return _decode_rows(out, self.precision, self.dim)
 
+    def _handles(self):
+        return self._hs if self.layout == "per_table" else [self._h]
+
     def count(self) -> int:
-        return int(self._lib.esv_kv_count(self._h))
+        return sum(int(self._lib.esv_kv_count(h)) for h in self._handles())
 
     def compact(self) -> int:
-        r = int(self._lib.esv_kv_compact(self._h))
-        if r < 0:
-            raise OSError("esv_kv_compact failed")
-        return r
+        total = 0
+        for h in self._handles():
+            r = int(self._lib.esv_kv_compact(h))
+            if r < 0:
+                raise OSError("esv_kv_compact failed")
+            total += r
+        return total
 
     def close(self):
-        if self._h:
-            self._lib.esv_kv_close(self._h)
-            self._h = None
+        for h in (self._handles() or []):
+            if h:
+                self._lib.esv_kv_close(h)
+        self._h, self._hs = None, None
 
 
 class StorageManager:
@@ -378,13 +422,19 @@ class StorageManager:
     BACKENDS = ("dummy", "file", "mmap", "sqlite", "logkv", "native")
 
     def __init__(self, backend: str = "dummy", precision: int = 32,
-                 dim: int = 36):
+                 dim: int = 36, layout: str = "global"):
+        """layout applies to the DB backends (sqlite/logkv): "global" = one
+        table/log with a global key scheme; "per_table" = one DB table / log
+        file per EV table (the reference's *_26_tabs.py layout variants)."""
         if backend not in self.BACKENDS:
             raise ValueError(f"unknown storage backend {backend!r}; "
                              f"one of {self.BACKENDS}")
+        if layout not in ("global", "per_table"):
+            raise ValueError(f"unknown storage layout {layout!r}")
         self.backend = backend
         self.precision = precision
         self.dim = dim
+        self.layout = layout
         self.store = None
 
     def load(self, *, tables: Optional[Sequence[np.ndarray]] = None,
@@ -404,11 +454,13 @@ class StorageManager:
             s = MmapStore(bin_dir, table_sizes, self.dim, self.precision)
         elif self.backend == "sqlite":
             s = SqliteStore(db_path or os.path.join(bin_dir, "ev-table-all.db"),
-                            table_sizes, self.dim, self.precision)
+                            table_sizes, self.dim, self.precision,
+                            layout=self.layout)
             s.create_and_load(bin_dir, table_sizes)
         elif self.backend == "logkv":
             s = LogKVStore(db_path or os.path.join(bin_dir, "ev-table-all.log"),
-                           table_sizes, self.dim, self.precision)
+                           table_sizes, self.dim, self.precision,
+                           layout=self.layout)
             if s.count() == 0:     # fresh store: bulk load; else reopen as-is
                 s.create_and_load(bin_dir, table_sizes)
         else:

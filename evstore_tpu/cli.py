@@ -160,6 +160,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--emb-stor", type=str, default="dummy",
                    choices=["dummy", "file", "mmap", "sqlite", "logkv",
                             "native"])
+    p.add_argument("--emb-stor-layout", type=str, default="global",
+                   choices=["global", "per_table"],
+                   help="DB layout for sqlite/logkv: one global table "
+                        "(storage_sqlite.py) or one per EV table "
+                        "(storage_*_26_tabs.py)")
     p.add_argument("--ev-table-path", type=str, default="")
     p.add_argument("--alt-key-path", type=str, default="")
     p.add_argument("--ev-precs", type=int, default=32)
@@ -278,13 +283,21 @@ def _make_data(args, cfg):
                 lambda: ds.batches("test", args.mini_batch_size,
                                    fraction=args.percent_data_for_inference,
                                    drop_last=True))
-    dist = "zipf" if args.data_generation == "synthetic" else "uniform"
+    if args.data_generation == "synthetic":
+        dist = "zipf"
+    elif args.rand_data_dist == "gaussian":
+        # --data-generation=random --rand-data-dist=gaussian
+        # (generate_dist_input_batch, dlrm_data_pytorch.py:1011-1068)
+        dist = "gaussian"
+    else:
+        dist = "uniform"
     nb = args.num_batches or 100
     dcfg = RandomDataConfig(
         num_dense=cfg.num_dense_features, table_sizes=cfg.table_sizes,
         batch_size=args.mini_batch_size, num_batches=nb,
         seed=args.numpy_rand_seed, distribution=dist,
         rand_data_mu=args.rand_data_mu, rand_data_sigma=args.rand_data_sigma,
+        rand_data_min=args.rand_data_min, rand_data_max=args.rand_data_max,
         num_indices_per_lookup=args.num_indices_per_lookup,
         num_indices_per_lookup_fixed=getattr(
             args, "num_indices_per_lookup_fixed", False))
@@ -393,7 +406,8 @@ def _run(args) -> int:
         params = quantize_mlps(params, args.quantize_mlp_with_bit)
     if args.ev_table_path and args.use_evstore:
         sm = StorageManager(args.emb_stor, precision=args.ev_precs,
-                            dim=cfg.embedding_dim)
+                            dim=cfg.embedding_dim,
+                            layout=args.emb_stor_layout)
         sm.load(bin_dir=args.ev_table_path,
                 table_sizes=list(cfg.table_sizes))
     else:

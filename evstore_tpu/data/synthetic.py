@@ -31,7 +31,7 @@ class RandomDataConfig:
     batch_size: int = 128
     num_batches: int = 100
     seed: int = 123
-    distribution: str = "uniform"     # uniform | zipf | grouped_zipf
+    distribution: str = "uniform"     # uniform | zipf | grouped_zipf | gaussian
     zipf_alpha: float = 1.05
     # grouped_zipf: one shared popularity rank per request drives all T
     # tables (the groupability property EvLFU exploits — one inference
@@ -41,6 +41,11 @@ class RandomDataConfig:
     group_noise: float = 0.1
     rand_data_mu: float = -1.0        # reference --rand-data-* flags
     rand_data_sigma: float = 1.0
+    # gaussian sparse-index bounds (dlrm_data_pytorch.py:1046-1051):
+    # indices = unique(clip(normal(mu, sigma), min, max)); mu == -1 means
+    # (min + max) / 2.  max == -1 means size - 1 (full table range).
+    rand_data_min: float = 0.0
+    rand_data_max: float = -1.0
     dense_dist: str = "uniform"       # uniform | gaussian
     # multi-hot bags (reference --num-indices-per-lookup[-fixed],
     # dlrm_data_pytorch.py:1062-1120): L > 1 makes random_batches yield
@@ -55,6 +60,16 @@ def _sample_indices(rng: np.random.Generator, n: int, size: int,
                     cfg: RandomDataConfig) -> np.ndarray:
     if cfg.distribution == "uniform" or size <= 2:
         return rng.integers(0, size, n, dtype=np.int64)
+    if cfg.distribution == "gaussian":
+        # generate_dist_input_batch gaussian branch
+        # (dlrm_data_pytorch.py:1046-1051): normal(mu, sigma) clipped to
+        # [min, max]; mu == -1 -> midpoint.  Vectorized over the batch.
+        lo = cfg.rand_data_min
+        hi = cfg.rand_data_max if cfg.rand_data_max >= 0 else float(size - 1)
+        hi = min(hi, float(size - 1))
+        mu = cfg.rand_data_mu if cfg.rand_data_mu != -1 else (lo + hi) / 2.0
+        r = rng.normal(mu, cfg.rand_data_sigma, n)
+        return np.clip(r, lo, hi).astype(np.int64)
     # bounded Zipf via the continuous inverse-CDF approximation (O(1) memory,
     # works for 100M-row tables); rank->id is a fixed permutation so hot rows
     # are spread through the id space like a real trace
@@ -128,6 +143,14 @@ def random_batches(cfg: RandomDataConfig) -> Iterator[Batch]:
             sz = rng.integers(1, L + 1, (cfg.batch_size, len(sizes)))
             bag_w = (np.arange(L)[None, None, :] < sz[..., None]
                      ).astype(np.float32)
+        if cfg.distribution == "gaussian":
+            # the reference uniquifies indices within a bag
+            # (dlrm_data_pytorch.py:1050 np.unique) — static-shape version:
+            # zero the weight of any slot repeating an earlier slot's id
+            dup = ((idx[:, :, :, None] == idx[:, :, None, :])
+                   & (np.arange(L)[None, None, :, None]
+                      > np.arange(L)[None, None, None, :])).any(axis=3)
+            bag_w = bag_w * (~dup)
         yield dense.astype(np.float32), idx, bag_w, labels
 
 

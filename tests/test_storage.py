@@ -194,3 +194,56 @@ def test_logkv_quantized_rows(tmp_path):
     got = kv.get(0, 9)
     np.testing.assert_allclose(got, tables[0][9], atol=0.01)
     kv.close()
+
+
+def test_logkv_per_table_layout(tmp_path):
+    """The 26-tabs layout variant (emb_storage/storage_rocksdb_26_tabs.py):
+    one log file per EV table, row-only keys."""
+    if not _has_gpp():
+        import pytest as _p
+        _p.skip("no g++")
+    import os
+    from evstore_tpu.cache.storage import LogKVStore, write_ev_tables_binary
+    rng = np.random.default_rng(2)
+    sizes = [40, 25, 10]
+    dim = 8
+    tables = [np.asarray(rng.uniform(-1, 1, (s, dim)), np.float32)
+              for s in sizes]
+    write_ev_tables_binary(tables, str(tmp_path))
+    db = str(tmp_path / "ev26.log")
+    kv = LogKVStore(db, sizes, dim, layout="per_table"
+                    ).create_and_load(str(tmp_path), sizes)
+    # one physical log per table
+    assert all(os.path.exists(f"{db}.t{t}") for t in range(3))
+    assert kv.count() == sum(sizes)
+    np.testing.assert_allclose(kv.get(2, 7), tables[2][7], rtol=1e-6)
+    got = kv.get_batch([(0, 3), (2, 9), (1, 24), (0, 39)])
+    np.testing.assert_allclose(got[1], tables[2][9], rtol=1e-6)
+    np.testing.assert_allclose(got[3], tables[0][39], rtol=1e-6)
+    kv.put_rows(1, np.asarray([4]), np.full((1, dim), 0.25, np.float32))
+    np.testing.assert_allclose(kv.get(1, 4), 0.25, rtol=1e-6)
+    assert kv.compact() == 8 + dim * 4
+    kv.close()
+    kv2 = LogKVStore(db, sizes, dim, layout="per_table")
+    np.testing.assert_allclose(kv2.get(1, 4), 0.25, rtol=1e-6)
+    kv2.close()
+
+
+def test_storage_manager_layout_passthrough(tmp_path):
+    if not _has_gpp():
+        import pytest as _p
+        _p.skip("no g++")
+    from evstore_tpu.cache.storage import StorageManager, write_ev_tables_binary
+    import pytest
+    with pytest.raises(ValueError):
+        StorageManager("logkv", layout="bogus")
+    rng = np.random.default_rng(3)
+    sizes = [12, 8]
+    tables = [np.asarray(rng.uniform(-1, 1, (s, 4)), np.float32)
+              for s in sizes]
+    write_ev_tables_binary(tables, str(tmp_path))
+    for backend in ("sqlite", "logkv"):
+        sm = StorageManager(backend, dim=4, layout="per_table").load(
+            bin_dir=str(tmp_path), table_sizes=sizes)
+        np.testing.assert_allclose(sm.get(1, 3), tables[1][3], rtol=1e-6)
+        sm.close()

@@ -201,50 +201,64 @@ def _batches(cfg, B, n, seed=0, zipf=False):
     return list(random_batches(dcfg))
 
 
-def bench_train(cfg, B=65536, n_lo=10, n_hi=40, n_windows=3):
-    """Device-resident ("staged") training throughput: n steps scanned in
-    ONE dispatch over 8 staged batches, fenced by transferring the final
-    loss; slope of (n_hi - n_lo) cancels dispatch/tunnel constants.
+def bench_train(cfg, B=65536, n_lo=4, n_hi=12, n_windows=3):
+    """Device-resident training throughput: n steps STATICALLY UNROLLED in
+    one donated jit dispatch over 8 staged batches (closure constants, so
+    batch selection is static), fenced by transferring the final loss;
+    slope of (n_hi - n_lo) cancels dispatch/tunnel constants.
+
+    Harness choice (round-4 A/B at B=65536 with packed tables):
+      lax.scan carry            89.0 ms  (non-aliasable table carries cost
+                                          two 144 MB relayout copies per
+                                          packed table per iteration)
+      per-step donated dispatch 88.5 ms  (tunnel per-call overhead)
+      scan(unroll=True) donated 70.9 ms  (dynamic D[j] selection remains)
+      static python unroll      66.4 ms  <- this
+    (device execution time from the profiler trace: 64.8 ms.)
+
     B=65536: top of the honest saturation sweep (scripts/b_saturation.py,
-    EXPERIMENTS 11: 666k ex/s @32k -> 727k @64k; serialization-bound
-    gather/update components amortize with B) and the top of the MLPerf
-    DLRM global-batch recipe."""
+    EXPERIMENTS 11) and the top of the MLPerf DLRM global-batch recipe."""
     import functools
     import jax
     import jax.numpy as jnp
-    from jax import lax
     from evstore_tpu.config import TrainConfig
     from evstore_tpu.models.dlrm import init_dlrm
     from evstore_tpu.train.train_loop import init_opt_state, make_train_step
 
     tcfg = TrainConfig(batch_size=B, learning_rate=0.1, optimizer="rwsadagrad")
-    step = make_train_step(cfg, tcfg)
+    from evstore_tpu.train.optim import make_pack_spec, pack_tables
+    pack_spec = make_pack_spec(init_dlrm(jax.random.PRNGKey(0), cfg),
+                               tcfg.optimizer)
+    step = make_train_step(cfg, tcfg, pack=pack_spec)
     raw = _batches(cfg, B, 8)
-    D = jnp.stack([jnp.asarray(d) for d, _, _ in raw])
-    I = jnp.stack([jnp.asarray(i) for _, i, _ in raw])
-    Y = jnp.stack([jnp.asarray(y) for _, _, y in raw])
+    Dl = [jnp.asarray(d) for d, _, _ in raw]
+    Il = [jnp.asarray(i) for _, i, _ in raw]
+    Yl = [jnp.asarray(y) for _, _, y in raw]
 
-    @functools.partial(jax.jit, static_argnums=(5,))
-    def run_n(params, opt_state, D, I, Y, n_steps):
-        def body(carry, i):
-            p, o = carry
-            j = i % D.shape[0]
-            p, o, loss = step(p, o, D[j], I[j], Y[j])
-            return (p, o), loss
-        (p, o), losses = lax.scan(body, (params, opt_state),
-                                  jnp.arange(n_steps))
-        return p, o, losses[-1]
+    @functools.partial(jax.jit, static_argnums=(2,), donate_argnums=(0, 1))
+    def run_n(params, opt_state, n_steps):
+        loss = None
+        for i in range(n_steps):
+            j = i % len(Dl)
+            params, opt_state, loss = step(params, opt_state,
+                                           Dl[j], Il[j], Yl[j])
+        return params, opt_state, loss
+
+    def fresh():
+        params = init_dlrm(jax.random.PRNGKey(0), cfg)
+        opt_state = init_opt_state(params, tcfg)
+        return pack_tables(params, opt_state, pack_spec)
 
     ts = {}
     for n in (n_lo, n_hi):
-        params = init_dlrm(jax.random.PRNGKey(0), cfg)
-        opt_state = init_opt_state(params, tcfg)
-        _, _, l = run_n(params, opt_state, D, I, Y, n)  # compile + warm
+        params, opt_state = fresh()
+        params, opt_state, l = run_n(params, opt_state, n)  # compile + warm
         device_sync(l)
         best = float("inf")
         for _ in range(n_windows):
+            params, opt_state = fresh()
             t0 = time.perf_counter()
-            _, _, l = run_n(params, opt_state, D, I, Y, n)
+            params, opt_state, l = run_n(params, opt_state, n)
             device_sync(l)
             best = min(best, time.perf_counter() - t0)
         ts[n] = best
@@ -702,9 +716,13 @@ def bench_native_engine(cfg, B=1024, n_steps=50):
     dcfg = RandomDataConfig(num_dense=1, table_sizes=sizes, batch_size=B,
                             num_batches=n_steps, seed=2, distribution="zipf",
                             zipf_alpha=1.1)
+    # pre-generate: the zipf sampler costs ~2.7 ms/batch on this host, which
+    # used to sit INSIDE the timed loop and understate the engine ~1.4x
+    batches = [idx for _, idx, _ in random_batches(dcfg)]
+    nc.request_batch(batches[0])    # warm
     n = 0
     t0 = time.perf_counter()
-    for _, idx, _ in random_batches(dcfg):
+    for idx in batches[1:]:
         nc.request_batch(idx)
         n += B
     dt = time.perf_counter() - t0   # pure host work: wall time is real

@@ -57,6 +57,22 @@ def pool_bags(rows: jnp.ndarray, weights: Optional[jnp.ndarray]) -> jnp.ndarray:
 # 1.0 * row product.  Measured in the full train step (EXPERIMENTS §20).
 ONEHOT_GATHER_MAX_ROWS = 2048
 
+# Packed-gather for HBM-resident big tables.  XLA's gather from a large
+# operand costs per-ROW, and the per-row cost collapses as rows widen
+# (v5e, 144 MB operand, B=65536: D=36 42.6 ns/row, D=72 4.0, D=144 10.7 —
+# scripts/gather_width_sweep.py + /tmp wide2 sweep).  [N, D] ->
+# [N/P, D*P] is a free reshape of the same ROW-MAJOR bytes, but XLA's
+# TILED device layouts differ, so reshaping in-graph costs a 2.3 ms/table
+# relayout per step (measured) that eats the entire win.  The packing
+# therefore must live in the STORED layout: train_loop packs big tables
+# once before the step scan (train/optim.py pack_tables) and the step
+# gathers via take_rows_packed_layout.  Only tables past the VMEM cliff
+# (operand >~48 MB gathers ~40 ns/row; smaller operands are cached in
+# VMEM by XLA and gather at 0.2-10 ns/row — scripts/gather_cliff.py)
+# benefit; below it the extra select would just add VPU passes.
+PACKED_GATHER_FACTOR = 2
+PACKED_GATHER_MIN_BYTES = 48 << 20
+
 
 def take_rows(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     """Row lookup with a static lowering choice: tiny tables go through the
@@ -78,6 +94,33 @@ def take_rows(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
                        precision=prec).astype(table.dtype)
         return rows.reshape(*ids.shape, table.shape[1])
     return jnp.take(table, ids, axis=0)
+
+
+def pick_pack_factor(n: int, d: int, itemsize: int = 4) -> int:
+    """Largest pack factor (<= PACKED_GATHER_FACTOR) worth using for an
+    [n, d] table: 1 below the VMEM cliff or when n doesn't divide."""
+    if n * d * itemsize <= PACKED_GATHER_MIN_BYTES:
+        return 1
+    p = PACKED_GATHER_FACTOR
+    while p > 1 and n % p:
+        p //= 2
+    return p
+
+
+def take_rows_packed_layout(packed: jnp.ndarray, ids: jnp.ndarray, p: int,
+                            d: int) -> jnp.ndarray:
+    """Row lookup against a STORED packed table [N/p, p*d]: gather the
+    packed row id//p at the fast wide width, then select sub-row id%p.
+    EXACT: static lane slices + lax.select_n move bytes, no arithmetic."""
+    flat = ids.reshape(-1)
+    rows = jnp.take(packed, flat // p, axis=0)                # [B, p*d]
+    if p == 1:
+        return rows.reshape(*ids.shape, d)
+    sub = jnp.broadcast_to((flat % p).astype(jnp.int32)[:, None],
+                           (flat.shape[0], d))
+    out = jax.lax.select_n(sub, *(rows[:, k * d:(k + 1) * d]
+                                  for k in range(p)))
+    return out.reshape(*ids.shape, d)
 
 
 def embedding_lookup(tables: Dict[str, jnp.ndarray], idx: jnp.ndarray,
@@ -235,7 +278,8 @@ def sparse_arch_lookup(params: Dict[str, dict], idx: jnp.ndarray, cfg,
                 from evstore_tpu.ops.pallas_gather import gather_rows_grad
                 rows = gather_rows_grad(p["kind_plain"], flat)
             else:
-                rows = jnp.take(p["kind_plain"], flat, axis=0)
+                # tiny tables -> one-hot MXU; big tables -> packed gather
+                rows = take_rows(p["kind_plain"], flat)
             if "pool_w" in p:
                 # per-row pooling weights v_W ≙ per_sample_weights
                 # (dlrm_s_pytorch.py:284-293,446-453)

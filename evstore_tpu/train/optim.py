@@ -269,6 +269,175 @@ def row_update(name: str, state, table: jnp.ndarray, ids: jnp.ndarray,
     return new_state, (table.astype(jnp.float32) - upd).astype(table.dtype)
 
 
+# ------------------------------------------------- packed big-table layout
+#
+# XLA's gather from an HBM-resident table costs per ROW and collapses as
+# rows widen (v5e, 144 MB f32 operand, B=65536: D=36 42.6 ns/row vs D=72
+# 4.0 — scripts/gather_width_sweep.py).  Storing a big table as
+# [N/P, P*D] (same row-major bytes; P=2 on v5e) makes the forward gather
+# ~10x faster; the sub-row id%P is selected with exact lane slices
+# (models/embedding.py take_rows_packed_layout).  An in-graph reshape
+# does NOT work — tiled device layouts differ and XLA inserts a 2.3
+# ms/table relayout per step — so the packing lives in the STORED layout:
+# pack once before the step scan, unpack after.
+
+
+def make_pack_spec(params, optimizer: str) -> Dict[str, int]:
+    """name -> P for plain tables worth packing (see
+    models/embedding.pick_pack_factor).  All three optimizers are
+    supported: sgd/adagrad updates are elementwise (packing-transparent);
+    rwsadagrad's row-mean is handled by row_update_packed."""
+    from evstore_tpu.models.embedding import pick_pack_factor
+    spec = {}
+    for name, p in params.sparse.items():
+        if "kind_plain" not in p or "pool_w" in p:
+            continue
+        tab = p["kind_plain"]
+        f = pick_pack_factor(tab.shape[0], tab.shape[1], tab.dtype.itemsize)
+        if f > 1:
+            spec[name] = f
+    return spec
+
+
+def pack_tables(params, opt_state: OptState, spec: Dict[str, int]):
+    """Device-side relayout of the spec'd tables (and rwsadagrad row
+    accumulators) into the packed shapes.  One-time cost."""
+    sparse = dict(params.sparse)
+    sp_state = dict(opt_state.sparse)
+    for name, f in spec.items():
+        tab = sparse[name]["kind_plain"]
+        n, d = tab.shape
+        sparse[name] = {"kind_plain": tab.reshape(n // f, d * f)}
+        # state mirrors the packed layout: rwsadagrad [N] -> [N/P, P],
+        # adagrad [N, D] -> [N/P, P*D]
+        if name in sp_state and getattr(sp_state[name], "ndim", 0) == 1:
+            sp_state[name] = sp_state[name].reshape(n // f, f)
+        elif name in sp_state and getattr(sp_state[name], "ndim", 0) == 2:
+            sp_state[name] = sp_state[name].reshape(n // f, d * f)
+    return (params._replace(sparse=sparse),
+            opt_state._replace(sparse=sp_state))
+
+
+def unpack_tables(params, opt_state: OptState, spec: Dict[str, int]):
+    sparse = dict(params.sparse)
+    sp_state = dict(opt_state.sparse)
+    for name, f in spec.items():
+        tab = sparse[name]["kind_plain"]
+        np_, dp = tab.shape
+        sparse[name] = {"kind_plain": tab.reshape(np_ * f, dp // f)}
+        if name in sp_state and getattr(sp_state[name], "ndim", 0) == 2:
+            s = sp_state[name]
+            if s.shape == (np_, f):                      # rwsadagrad
+                sp_state[name] = s.reshape(np_ * f)
+            elif s.shape == (np_, dp):                   # adagrad
+                sp_state[name] = s.reshape(np_ * f, dp // f)
+    return (params._replace(sparse=sparse),
+            opt_state._replace(sparse=sp_state))
+
+
+def row_update_packed(name: str, state, packed: jnp.ndarray,
+                      ids: jnp.ndarray, grads: jnp.ndarray, pack: int,
+                      lr, eps: float = 1e-10):
+    """row_update against the packed [N/P, P*d] layout.
+
+    Logical semantics identical to row_update on the [N, d] view: the
+    logical row grads [B, d] are widened into their sub-slot (exact: a
+    0/1 one-hot product) and coalesced by PACKED row q = id//P; sub-slots
+    never overlap, so summing widened grads of colliding logical rows is
+    the same as updating each separately.  sgd/adagrad are elementwise
+    and go straight through row_update; rwsadagrad keeps its PER-LOGICAL
+    row accumulator as [N/P, P] and computes the row-mean with 0/1
+    block matmuls so no [., P, d] reshape (= relayout) ever happens."""
+    name = name.lower()
+    npk, dp = packed.shape
+    d = dp // pack
+    b = ids.shape[0]
+    q = jnp.where(ids == PAD_ROW, PAD_ROW, ids // pack)
+    oh = ((ids % pack)[:, None] ==
+          jnp.arange(pack, dtype=jnp.int32)[None, :]).astype(jnp.float32)
+    g = grads.astype(jnp.float32)
+    g_wide = jnp.concatenate([g * oh[:, k:k + 1] for k in range(pack)],
+                             axis=1)                       # [B, P*d]
+    if name in ("sgd", "adagrad"):
+        return row_update(name, state, packed, q, g_wide, lr, eps)
+
+    # rwsadagrad, packed tables (state stays LOGICAL [N]).  All statistics
+    # run on [b, .]-sized coalesced temps; the only big-array traffic is
+    # the packed read+write pass (with the upd take from a <10 MB padded
+    # operand fused into the subtract, same as the logical dense path) and
+    # one [N]-element state pass.  The first packed A/B showed why this
+    # matters: doing the coalesce/mean/scale at [N/P, P*d] scale cost
+    # ~1.9 ms/table and gave back most of the packed-gather win.
+    n_logical = npk * pack
+    if npk > b * 256:
+        # huge tables: dedup + row scatter on packed rows
+        uniq, summed, valid = dedup_rows(q, g_wide, b)
+        gm = summed * valid[:, None]
+        A = _block_mean_matrix(pack, d)
+        mom_inc = jnp.dot(gm * gm, A, precision=jax.lax.Precision.HIGHEST)
+        acc_old = state.at[uniq].get(mode="fill", fill_value=0.0)  # [U, P]
+        new_acc = acc_old + mom_inc
+        new_state = scatter_rows_add(state, uniq, mom_inc)
+        std = jnp.sqrt(new_acc) + eps                       # [U, P]
+        scale = jnp.repeat(std, d, axis=1)
+        new_tab = scatter_rows_add(packed, uniq, -lr * gm / scale)
+        return new_state, new_tab
+
+    # rep-trick: coalesce by PACKED row into [b, P*d] (tiny), per-logical
+    # stats on [b, P], then ONE wide row-take feeding fused full passes.
+    # Lowering constraints discovered the hard way (r4 A/B + trace):
+    # - an [N]-element SCALAR take costs ~6.6 ns/elem in-step (XLA emits a
+    #   serialized per-element gather, trace fusion.19) while the same
+    #   data as ~74-wide ROWS gathers at ~2.2 ns/ROW — so the state
+    #   increment rides as 2 extra lanes on the update row-take;
+    # - never gather from the state/table CARRY (HBM, serialized); the
+    #   take operand here is a [b+1, P*d+P] temp.
+    slot = jnp.full((npk,), b, jnp.int32).at[q].set(
+        jnp.arange(b, dtype=jnp.int32), mode="drop")
+    rep = slot.at[q].get(mode="fill", fill_value=b)
+    Gc = jax.ops.segment_sum(g_wide, rep, num_segments=b + 1)[:b]  # [b, P*d]
+    # per-logical-row mean of the coalesced grads (same values the logical
+    # path's jnp.mean(G*G, axis=1) produces for touched rows; non-rep
+    # slots received nothing in the segment sum, so their rows are 0)
+    mom_inc = jnp.stack(
+        [jnp.mean(Gc[:, k * d:(k + 1) * d] ** 2, axis=1)
+         for k in range(pack)], axis=1)                     # [b, P]
+    comb_pad = jnp.concatenate([
+        jnp.concatenate([Gc, mom_inc], axis=1),
+        jnp.zeros((1, dp + pack), jnp.float32)])            # [b+1, P*d+P]
+    taken = jnp.take(comb_pad, jnp.minimum(slot, b), axis=0)  # [npk, P*d+P]
+    new_state = state + taken[:, dp:]                       # [N/P, P]
+    std = jnp.sqrt(new_state) + eps
+    # per-block scale WITHOUT jnp.repeat: repeat lowers to a
+    # broadcast+reshape whose reshape is a 144 MB relayout COPY per table
+    # per step (HLO copy.1410); minor-dim broadcasts fuse into the divide
+    upd = jnp.concatenate(
+        [lr * taken[:, k * d:(k + 1) * d] / std[:, k:k + 1]
+         for k in range(pack)], axis=1)                     # [N/P, P*d]
+    new_tab = (packed.astype(jnp.float32) - upd).astype(packed.dtype)
+    return new_state, new_tab
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _block_mean_matrix_np(pack: int, d: int):
+    # cache numpy, never jnp (a jnp array cached inside a jit trace would
+    # leak a tracer); jnp.asarray at the use site is free
+    import numpy as _np
+    a = _np.zeros((pack * d, pack), _np.float32)
+    for k in range(pack):
+        a[k * d:(k + 1) * d, k] = 1.0 / d
+    return a
+
+
+def _block_mean_matrix(pack: int, d: int):
+    """[P*d, P] 0/1-scaled matrix: (G @ A)[:, k] = mean of G's k-th
+    d-block — the per-logical-row mean without a 3D reshape."""
+    return jnp.asarray(_block_mean_matrix_np(pack, d))
+
+
 def dedup_rows(idx: jnp.ndarray, grads: jnp.ndarray, num_unique: int
                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Coalesce duplicate row indices within a batch (the torch sparse-grad

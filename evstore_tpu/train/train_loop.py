@@ -68,7 +68,8 @@ def _rows_for_table(name: str, fact: Dict, plain_rows: Dict, idx_t, cfg):
     return md_lookup(p["kind_md"], idx_t)
 
 
-def make_train_step(cfg: DLRMConfig, tcfg: TrainConfig):
+def make_train_step(cfg: DLRMConfig, tcfg: TrainConfig,
+                    pack: Optional[Dict[str, int]] = None):
     """Builds the jitted train step.  Returned signature:
     (params, opt_state, dense_x[B,nd], idx[B,T], labels[B],
      bag_weights=None) -> (params, opt_state, loss).
@@ -77,8 +78,15 @@ def make_train_step(cfg: DLRMConfig, tcfg: TrainConfig):
     bag_weights [B, T, L] ≙ EmbeddingBag per_sample_weights,
     dlrm_s_pytorch.py:407-459); row grads then coalesce over all B*L
     looked-up rows.
+
+    pack: optional {table name -> P} from optim.make_pack_spec — those
+    tables (and their rwsadagrad accumulators) must arrive in the packed
+    [N/P, P*D] layout (optim.pack_tables); the step then gathers them at
+    the ~10x-faster wide row width (models/embedding.py packed-gather
+    notes) and updates them in-layout (optim.row_update_packed).
     """
     opt_init, dense_update, sparse_update = make_optimizer(tcfg.optimizer)
+    pack = pack or {}
     lr_fn = lr_schedule(tcfg.learning_rate, tcfg.lr_num_warmup_steps,
                         tcfg.lr_decay_start_step, tcfg.lr_num_decay_steps)
 
@@ -101,10 +109,16 @@ def make_train_step(cfg: DLRMConfig, tcfg: TrainConfig):
         # barrier; scripts/ab_pallas_gather.py, EXPERIMENTS §9), so
         # cfg.use_pallas_gather is an off-by-default knob for inference
         # paths (models/embedding.py) on other TPU generations.
-        from evstore_tpu.models.embedding import take_rows
-        plain_rows = {name: take_rows(tab,
-                                      flat_ids(int(name.split("_")[1])))
-                      for name, tab in plain.items()}
+        from evstore_tpu.models.embedding import (take_rows,
+                                                  take_rows_packed_layout)
+        plain_rows = {}
+        for name, tab in plain.items():
+            ids_t = flat_ids(int(name.split("_")[1]))
+            if name in pack:
+                plain_rows[name] = take_rows_packed_layout(
+                    tab, ids_t, pack[name], cfg.embedding_dim)
+            else:
+                plain_rows[name] = take_rows(tab, ids_t)
         w_rows = {name: jnp.take(w, flat_ids(int(name.split("_")[1])), axis=0)
                   for name, w in pool_w.items()}
 
@@ -150,8 +164,14 @@ def make_train_step(cfg: DLRMConfig, tcfg: TrainConfig):
         for name, tab in plain.items():
             t = int(name.split("_")[1])
             st = opt_state.sparse.get(name) if opt_state.sparse else None
-            new_st, new_tab = row_update(tcfg.optimizer, st, tab,
-                                         flat_ids(t), g_rows[name], lr)
+            if name in pack:
+                from evstore_tpu.train.optim import row_update_packed
+                new_st, new_tab = row_update_packed(
+                    tcfg.optimizer, st, tab, flat_ids(t), g_rows[name],
+                    pack[name], lr)
+            else:
+                new_st, new_tab = row_update(tcfg.optimizer, st, tab,
+                                             flat_ids(t), g_rows[name], lr)
             new_plain[name] = new_tab
             if new_st is not None:
                 new_sstate[name] = new_st

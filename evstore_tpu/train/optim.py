@@ -402,19 +402,23 @@ def row_update_packed(name: str, state, packed: jnp.ndarray,
     mom_inc = jnp.stack(
         [jnp.mean(Gc[:, k * d:(k + 1) * d] ** 2, axis=1)
          for k in range(pack)], axis=1)                     # [b, P]
+    # std on the TINY side (trace r4: sqrt/div/sub as separate [N/P, P*d]
+    # passes cost ~4.6 ms/table; pre-dividing Gc here leaves the big
+    # arrays exactly two consumers: the take and one fused subtract).
+    # acc_c gathers B rows from the state CARRY — serialized but only
+    # B rows (~0.4 ms), unlike the forbidden [N]-scale carry gathers.
+    acc_c = jnp.take(state, jnp.minimum(q, npk - 1), axis=0)   # [b, P]
+    std_c = jnp.sqrt(acc_c + mom_inc) + eps                 # [b, P]
+    upd_c = jnp.concatenate(
+        [lr * Gc[:, k * d:(k + 1) * d] / std_c[:, k:k + 1]
+         for k in range(pack)], axis=1)                     # [b, P*d] tiny
     comb_pad = jnp.concatenate([
-        jnp.concatenate([Gc, mom_inc], axis=1),
+        jnp.concatenate([upd_c, mom_inc], axis=1),
         jnp.zeros((1, dp + pack), jnp.float32)])            # [b+1, P*d+P]
     taken = jnp.take(comb_pad, jnp.minimum(slot, b), axis=0)  # [npk, P*d+P]
     new_state = state + taken[:, dp:]                       # [N/P, P]
-    std = jnp.sqrt(new_state) + eps
-    # per-block scale WITHOUT jnp.repeat: repeat lowers to a
-    # broadcast+reshape whose reshape is a 144 MB relayout COPY per table
-    # per step (HLO copy.1410); minor-dim broadcasts fuse into the divide
-    upd = jnp.concatenate(
-        [lr * taken[:, k * d:(k + 1) * d] / std[:, k:k + 1]
-         for k in range(pack)], axis=1)                     # [N/P, P*d]
-    new_tab = (packed.astype(jnp.float32) - upd).astype(packed.dtype)
+    new_tab = (packed.astype(jnp.float32)
+               - taken[:, :dp]).astype(packed.dtype)
     return new_state, new_tab
 
 

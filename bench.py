@@ -719,15 +719,39 @@ def bench_native_engine(cfg, B=1024, n_steps=50):
     # pre-generate: the zipf sampler costs ~2.7 ms/batch on this host, which
     # used to sit INSIDE the timed loop and understate the engine ~1.4x
     batches = [idx for _, idx, _ in random_batches(dcfg)]
-    nc.request_batch(batches[0])    # warm
-    n = 0
-    t0 = time.perf_counter()
-    for idx in batches[1:]:
-        nc.request_batch(idx)
-        n += B
-    dt = time.perf_counter() - t0   # pure host work: wall time is real
-    out = {"requests_per_s": n / dt, **nc.stats()["c1"]}
+    def run_engine(mk):
+        """best-of-3 cold-start replays (host wall time is real but this
+        2-core box is jittery; min-of-reps per the bench methodology)"""
+        best, st = 0.0, None
+        for _ in range(3):
+            eng = mk()
+            eng.request_batch(batches[0])    # warm
+            n = 0
+            t0 = time.perf_counter()
+            for idx in batches[1:]:
+                eng.request_batch(idx)
+                n += B
+            dt = time.perf_counter() - t0
+            if n / dt > best:
+                best, st = n / dt, eng.stats()
+            eng.close()
+        return best, st
+
     nc.close()
+    rps, st = run_engine(lambda: NativeTieredCache(
+        ccfg, cfg.num_tables, cfg.embedding_dim).load_tables(tables))
+    out = {"requests_per_s": rps, **st["c1"]}
+
+    # table-partitioned parallel engine (round 4): same workload on the
+    # W=2 sharded mode (policy work split across cores, global agg_hit
+    # exchanged per request through atomics — evstore_core.cpp
+    # ShardedEngine; the reference's engine is serial)
+    from evstore_tpu.native import NativeShardedCache
+    rps2, st2 = run_engine(lambda: NativeShardedCache(
+        ccfg, cfg.num_tables, cfg.embedding_dim,
+        n_workers=2).borrow_tables(tables))
+    out["sharded_w2"] = {"requests_per_s": rps2,
+                         "c1_hit_rate": st2["c1"]["hit_rate"]}
     return out
 
 

@@ -419,3 +419,90 @@ class NativeAssigner:
         self._lib.esv_assign_stats(self._h, s)
         return {"requests": int(s[0]), "perfect_hits": int(s[1]),
                 "size": int(s[2]), "hit_rate": float(s[3])}
+
+
+class NativeShardedCache:
+    """Table-partitioned PARALLEL tiered cache (C1 / C1+C2): the 26 tables
+    split round-robin over `n_workers` threads, each owning sub-tiers;
+    per-request the workers exchange the global agg_hit through atomics
+    (evstore_core.cpp ShardedEngine).  The reference's engine is serial
+    (its threads only read miss IO, evlfu_8.cpp:191-250) — this is the
+    scale-out beyond it.  Semantics deviations vs the sequential engine
+    are documented at the C++ struct; no C3 support (alt keys cross
+    shards).  Backing store: borrowed in-RAM tables only."""
+
+    def __init__(self, cfg: CacheConfig, n_tables: int, dim: int,
+                 n_workers: int = 2):
+        if cfg.n_caching_layers > 2:
+            raise ValueError("sharded engine supports C1 / C1+C2 only")
+        import ctypes
+        lib = get_lib()
+        if not hasattr(lib, "_shard_bound"):
+            lib.esv_shard_init.restype = ctypes.c_void_p
+            lib.esv_shard_init.argtypes = [
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_long, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+                ctypes.c_float, ctypes.c_float, ctypes.c_int, ctypes.c_int]
+            lib.esv_shard_borrow_table.restype = ctypes.c_int
+            lib.esv_shard_borrow_table.argtypes = [
+                ctypes.c_void_p, ctypes.c_int,
+                np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+                ctypes.c_long]
+            lib.esv_shard_lookup_batch.restype = ctypes.c_long
+            lib.esv_shard_lookup_batch.argtypes = [
+                ctypes.c_void_p,
+                np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+                ctypes.c_long,
+                np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")]
+            lib.esv_shard_stats.argtypes = [
+                ctypes.c_void_p,
+                np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")]
+            lib.esv_shard_close.argtypes = [ctypes.c_void_p]
+            lib._shard_bound = True
+        self.cfg = cfg
+        self.n_tables = n_tables
+        self.dim = dim
+        self.n_workers = n_workers
+        c1, c2, _ = cfg.tier_capacities()
+        self._h = lib.esv_shard_init(
+            n_workers, n_tables, dim, cfg.n_caching_layers, c1, c2,
+            cfg.main_precision, cfg.secondary_precision,
+            cfg.flush_rate, cfg.perfect_item_cap,
+            cfg.high_agghit_threshold, _POLICY.get(cfg.policy, 0))
+        if not self._h:
+            raise ValueError("esv_shard_init rejected config")
+        self._lib = lib
+
+    def borrow_tables(self, tables):
+        self._borrowed_refs = []
+        for t, tab in enumerate(tables):
+            tab = np.ascontiguousarray(tab, np.float32)
+            self._borrowed_refs.append(tab)
+            rc = self._lib.esv_shard_borrow_table(self._h, t, tab,
+                                                  tab.shape[0])
+            if rc != 0:
+                raise RuntimeError(f"esv_shard_borrow_table({t}) -> {rc}")
+        return self
+
+    def request_batch(self, idx: np.ndarray) -> np.ndarray:
+        idx = np.ascontiguousarray(idx, np.int64)
+        B = idx.shape[0]
+        out = np.empty((B, self.n_tables, self.dim), np.float32)
+        rc = self._lib.esv_shard_lookup_batch(self._h, idx, B, out)
+        if rc == -2:
+            raise ValueError("row id out of [0, 2^40)")
+        return out
+
+    def stats(self) -> dict:
+        s = np.zeros(6, np.float64)
+        self._lib.esv_shard_stats(self._h, s)
+        out = {"requests": int(s[0]), "perfect_hits": int(s[1]),
+               "c1": {"size": int(s[2]), "hit_rate": float(s[3])}}
+        if self.cfg.n_caching_layers >= 2:
+            out["c2"] = {"size": int(s[4]), "hit_rate": float(s[5])}
+        return out
+
+    def close(self):
+        if self._h:
+            self._lib.esv_shard_close(self._h)
+            self._h = None

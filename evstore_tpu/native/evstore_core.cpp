@@ -370,6 +370,33 @@ class EvLFUTier {
 
   void prefetch_key(uint64_t k) const { map_.prefetch(k); }
 
+  // Eviction generation: bumps on every entry removal.  A probe-time
+  // Entry* is safe to reuse iff the generation is unchanged (no free can
+  // have recycled it); otherwise callers re-find.  Avoids the ~T map
+  // re-probes per request that update_agg cost on the tiered path.
+  uint64_t evict_gen() const { return evict_gen_; }
+
+  // update_agg with a cached probe-time entry (see evict_gen)
+  const uint8_t* update_agg_cached(Entry* e, uint64_t k, int agg,
+                                   uint64_t probe_gen) {
+    if (e == nullptr || probe_gen != evict_gen_) return update_agg(k, agg);
+    if (kind_ == kLRU) {
+      buckets_[0].remove(e);
+      buckets_[0].push_back(e);
+      return e->value;
+    }
+    if (kind_ == kLFU) {
+      agg = e->agg < (1 << 20) ? e->agg + 1 : e->agg;
+      if (agg >= (int)buckets_.size()) buckets_.resize(agg + 1);
+    } else if (e->agg >= agg) {
+      return e->value;
+    }
+    buckets_[e->agg].remove(e);
+    buckets_[agg].push_back(e);
+    e->agg = agg;
+    return e->value;
+  }
+
   // EvLFU_C1.py:32-63 / evlfu_8.cpp setKey:252-300.  evicted_slots (assign
   // mode only, payload = int32 slot) receives the freed cache slots.
   void set(uint64_t k, const uint8_t* val, int agg,
@@ -398,6 +425,7 @@ class EvLFUTier {
       }
       map_.erase(e->key);
       free_entry(e);
+      evict_gen_++;
     };
     if (kind_ == kLRU) {
       if (map_.size() >= cap_ && buckets_[0].size > 0)
@@ -484,6 +512,7 @@ class EvLFUTier {
   size_t max_perfect_ = 0, n_perfect_ = 0;
   PolicyKind kind_ = kEvLFU;
   int min_agg_ = 0;
+  uint64_t evict_gen_ = 0;
   FlatMap<Entry*> map_;
   std::vector<Bucket> buckets_;
   Entry* free_entries_ = nullptr;
@@ -681,6 +710,7 @@ struct Engine {
   struct {
     std::vector<uint64_t> keys;
     std::vector<const uint8_t*> hit_vals;
+    std::vector<Entry*> c1_e, c2_e;
     std::vector<uint8_t> c1_hit, c2_hit, c2_update, c2_insert;
     std::vector<int> c3_val_idx, c1_fetch;
     std::vector<float> c3_vals, tmp;
@@ -721,15 +751,18 @@ struct Engine {
     hit_vals.assign(T, nullptr);
     int agg = 0;
     c1->n_lookups += T;
-    for (int i = 0; i < T; i++) keys[i] = make_key(i, rows[i]);
-    for (int i = 0; i < T; i++) c1->prefetch_key(keys[i]);
+    // NO software prefetch here: the single-tier working set is mostly
+    // cache-resident and prefetching measured -29% on this host (A/B
+    // 374k -> 267k req/s); the tiered path (2 maps, bigger footprint)
+    // keeps it (+5%) — see request_tiered.
+    auto& c1_e = scr.c1_e;
+    c1_e.assign(T, nullptr);
     for (int i = 0; i < T; i++) {
+      keys[i] = make_key(i, rows[i]);
       Entry* e = c1->find(keys[i]);
-      if (e) {
-        hit_vals[i] = e->value; agg++; c1->n_hits++;
-        __builtin_prefetch(e, 0, 1);   // update_agg dereferences it next
-      }
+      if (e) { hit_vals[i] = e->value; c1_e[i] = e; agg++; c1->n_hits++; }
     }
+    uint64_t c1_gen = c1->evict_gen();
     auto& evicted = scr.evicted;
     auto& enc = scr.enc;
     auto& tmp = scr.tmp;
@@ -739,7 +772,8 @@ struct Engine {
     for (int i = 0; i < T; i++) {
       float* dst = out + i * dim;
       if (hit_vals[i]) {
-        const uint8_t* v = c1->update_agg(keys[i], agg);
+        const uint8_t* v = c1->update_agg_cached(c1_e[i], keys[i], agg,
+                                                 c1_gen);
         if (v) { decode_row(v, dst, c1->precision(), dim); continue; }
         // evicted mid-group: refetch synchronously (EvLFU_C1.py:88-95)
         storage.fetch(i, rows[i], tmp.data());
@@ -781,6 +815,8 @@ struct Engine {
     c2_insert.assign(T, 0);
     c3_val_idx.assign(T, -1);
     c3_vals.clear();
+    scr.c1_e.assign(T, nullptr);
+    scr.c2_e.assign(T, nullptr);
 
     for (int i = 0; i < T; i++) keys[i] = make_key(i, rows[i]);
     // overlap the 2T dependent map misses of the probe fronts
@@ -793,19 +829,18 @@ struct Engine {
       c2->n_lookups += T;
       for (int i = 0; i < T; i++) {
         Entry* e2 = c2->find(keys[i]);
-        if (e2) {
-          c2_hit[i] = true; c2_agg++; c2->n_hits++;
-          __builtin_prefetch(e2, 0, 1);
-        }
+        scr.c2_e[i] = e2;
+        if (e2) { c2_hit[i] = true; c2_agg++; c2->n_hits++; }
       }
     }
     int agg = c2_agg;
     int c1_agg = 0;
     c1->n_lookups += T;
+    uint64_t c2_gen = c2 ? c2->evict_gen() : 0;
     for (int i = 0; i < T; i++) {
       Entry* e = c1->find(keys[i]);
+      scr.c1_e[i] = e;
       if (e) {
-        __builtin_prefetch(e, 0, 1);
         c1_hit[i] = true; c1_agg++; c1->n_hits++;
         c2_update[i] = false;
         if (!c2_hit[i]) agg++;
@@ -844,6 +879,7 @@ struct Engine {
       }
     }
 
+    uint64_t c1_gen = c1->evict_gen();
     auto& c1_fetch = scr.c1_fetch;
     c1_fetch.clear();
     bool c1_full = c1->size() >= c1->cap();
@@ -889,7 +925,8 @@ struct Engine {
           c2->set(keys[i], enc.data(), agg, &evicted);
           decode_row(enc.data(), out + i * dim, c2->precision(), dim);
         } else if (c2_update[i]) {
-          const uint8_t* v = c2->update_agg(keys[i], agg);
+          const uint8_t* v = c2->update_agg_cached(scr.c2_e[i], keys[i],
+                                                   agg, c2_gen);
           if (!v) {
             const float* src = fetch_row(i);
             encode_row(src, enc.data(), c2->precision(), dim);
@@ -915,10 +952,13 @@ struct Engine {
         if (c3_val_idx[i] >= 0) {
           memcpy(out + i * dim, &c3_vals[c3_val_idx[i] * dim], dim * 4);
         } else {
-          // re-find instead of using the probe-time pointer: an eviction in
-          // the fetch loop above may have freed it (the dangling-pointer
-          // hazard the reference flags at evlfu_8.cpp:521)
-          const uint8_t* v = c1->update_agg(keys[i], agg);
+          // probe-time pointer + eviction-generation guard: any eviction
+          // in the fetch loops above bumps the gen and forces a re-find
+          // (the dangling-pointer hazard the reference flags at
+          // evlfu_8.cpp:521 is handled by the gen, not by re-finding
+          // unconditionally)
+          const uint8_t* v = c1->update_agg_cached(scr.c1_e[i], keys[i],
+                                                   agg, c1_gen);
           if (v) {
             decode_row(v, out + i * dim, c1->precision(), dim);
           } else {
@@ -1472,11 +1512,13 @@ long esv_lookup_batch(void* h, const int64_t* idx, long B, float* out) {
   std::vector<ReadJob> jobs;
   std::vector<float> pre_buf;
   for (long b = 0; b < B; b++) {
-    if (b + 1 < B) {   // overlap the next request's probe misses
+    if (e->c2 && b + 1 < B) {  // overlap the next request's probe misses
+      // (tiered only: single-tier probes are cache-resident and the
+      // lookahead measured net-negative there — see request_c1)
       for (int i = 0; i < T; i++) {
         uint64_t nk = make_key(i, idx[(b + 1) * T + i]);
         e->c1->prefetch_key(nk);
-        if (e->c2) e->c2->prefetch_key(nk);
+        e->c2->prefetch_key(nk);
       }
     }
     for (int i = 0; i < T; i++) {
@@ -1822,5 +1864,352 @@ long esv_count_lines(const char* path) {
   fclose(f);
   return n;
 }
+
+}  // extern "C"
+
+// ===================================================================
+// Sharded (table-partitioned) tiered engine — round-4 scale-out of the
+// policy path.  The reference parallelizes only miss IO (evlfu_8.cpp
+// 3-thread reader pool); its policy is serial.  Here the 26 tables are
+// partitioned round-robin over W workers, each owning sub-C1/C2 tiers
+// (capacity split by table share); the only cross-worker coupling is the
+// per-request GLOBAL agg_hit, exchanged through per-request atomics
+// (publish partial counts, spin until all W published, then apply the
+// policy locally).  Within a worker the request order is the sequential
+// order, so the trajectory is deterministic.
+//
+// Semantics vs the sequential engine (documented deviations):
+//  - eviction pools and capacity are per-shard, not global (a shard
+//    evicts among its own tables only);
+//  - the C1-not-full agg recompute uses the global count of C1 hits;
+//  - perfect-hit counts use the pre-recompute global agg;
+//  - no C3 tier (alt keys can cross shards; use the sequential engine).
+// The sequential engine (esv_*) is untouched and stays bit-exact with
+// the Python twin.
+
+namespace {
+
+struct Shard {
+  std::vector<int> tables;              // global table ids owned
+  EvLFUTier* c1 = nullptr;
+  EvLFUTier* c2 = nullptr;
+  uint64_t n_hits_served = 0;
+};
+
+struct ShardedEngine {
+  int n_tables = 0, dim = 0, n_layers = 1, high_agg = 23, W = 2;
+  std::vector<Shard> shards;
+  Storage storage;
+  uint64_t n_requests = 0, n_perfect = 0;
+
+  // batch state shared by the workers
+  const int64_t* b_idx = nullptr;
+  float* b_out = nullptr;
+  long b_B = 0;
+  std::vector<std::atomic<uint32_t>> agg_sum;   // packed: main<<16 | pure
+  std::vector<std::atomic<uint32_t>> agg_cnt;
+  std::atomic<long> perfect{0};
+
+  // persistent worker threads (W-1 helpers + caller)
+  std::vector<std::thread> threads;
+  std::mutex mu;
+  std::condition_variable cv, done_cv;
+  int epoch = 0;
+  int running = 0;
+  bool stop = false;
+
+  ~ShardedEngine() {
+    {
+      std::unique_lock<std::mutex> lk(mu);
+      stop = true;
+    }
+    cv.notify_all();
+    for (auto& t : threads) t.join();
+    for (auto& s : shards) { delete s.c1; delete s.c2; }
+  }
+
+  void worker_loop(int w) {
+    int seen = 0;
+    for (;;) {
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv.wait(lk, [&] { return stop || epoch != seen; });
+        if (stop) return;
+        seen = epoch;
+      }
+      run_worker(w);
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        if (--running == 0) done_cv.notify_all();
+      }
+    }
+  }
+
+  void run_worker(int w) {
+    Shard& sh = shards[w];
+    EvLFUTier* c1 = sh.c1;
+    EvLFUTier* c2 = sh.c2;
+    int T = n_tables, D = dim;
+    int nt = (int)sh.tables.size();
+    std::vector<uint64_t> keys(nt);
+    std::vector<Entry*> e1(nt), e2v(nt);
+    std::vector<uint8_t> c1_hit(nt), c2_hit(nt), c2_update(nt), c2_insert(nt);
+    std::vector<int> c1_fetch;
+    std::vector<float> tmp(D);
+    std::vector<uint8_t> enc(std::max(c1->nb(), c2 ? c2->nb() : 0));
+    std::vector<uint64_t> evicted;
+
+    for (long b = 0; b < b_B; b++) {
+      const int64_t* rows = b_idx + b * T;
+      float* out = b_out + b * (long)T * D;
+      // phase A: probe own tables
+      int part_main = 0, part_pure = 0;
+      if (c2) c2->n_lookups += nt;
+      c1->n_lookups += nt;
+      for (int j = 0; j < nt; j++) {
+        int i = sh.tables[j];
+        keys[j] = make_key(i, rows[i]);
+        e2v[j] = c2 ? c2->find(keys[j]) : nullptr;
+        c2_hit[j] = e2v[j] != nullptr;
+        if (c2_hit[j]) { part_main++; c2->n_hits++; }
+        e1[j] = c1->find(keys[j]);
+        c1_hit[j] = e1[j] != nullptr;
+        if (c1_hit[j]) {
+          c1->n_hits++;
+          part_pure++;
+          if (!c2_hit[j]) part_main++;
+        }
+        c2_update[j] = c2_hit[j] && !c1_hit[j];
+        c2_insert[j] = !c2_hit[j] && !c1_hit[j];
+      }
+      uint64_t gen1 = c1->evict_gen();
+      uint64_t gen2 = c2 ? c2->evict_gen() : 0;
+      // publish + wait for the global agg
+      agg_sum[b].fetch_add(((uint32_t)part_main << 16) | (uint32_t)part_pure,
+                           std::memory_order_relaxed);
+      agg_cnt[b].fetch_add(1, std::memory_order_release);
+      while (agg_cnt[b].load(std::memory_order_acquire) < (uint32_t)W) {
+#if defined(__x86_64__)
+        __builtin_ia32_pause();
+#endif
+      }
+      uint32_t packed = agg_sum[b].load(std::memory_order_relaxed);
+      int agg = (int)(packed >> 16);
+      int agg_pure = (int)(packed & 0xFFFF);
+      if (w == 0) {
+        n_requests++;
+        if (agg == T) { n_perfect++; }
+      }
+
+      // phase B: local policy with the global agg
+      c1_fetch.clear();
+      bool c1_full = c1->size() >= c1->cap();
+      if (!c2) {
+        // single-tier semantics: mirror request_c1's SINGLE interleaved
+        // loop (hit -> update_agg, miss -> fetch+set, in table order) —
+        // a split loop changes which bucket states evictions see and
+        // diverges the trajectory from the sequential engine
+        for (int j = 0; j < nt; j++) {
+          int i = sh.tables[j];
+          float* dst = out + i * D;
+          if (c1_hit[j]) {
+            const uint8_t* v = c1->update_agg_cached(e1[j], keys[j], agg,
+                                                     gen1);
+            if (v) { decode_row(v, dst, c1->precision(), D); continue; }
+            storage.fetch(i, rows[i], tmp.data());
+            encode_row(tmp.data(), enc.data(), c1->precision(), D);
+            c1->set(keys[j], enc.data(), agg, nullptr);
+            decode_row(enc.data(), dst, c1->precision(), D);
+          } else {
+            storage.fetch(i, rows[i], tmp.data());
+            encode_row(tmp.data(), enc.data(), c1->precision(), D);
+            c1->set(keys[j], enc.data(), agg, nullptr);
+            decode_row(enc.data(), dst, c1->precision(), D);
+          }
+        }
+        if (agg == T) c1->note_perfect();
+        continue;
+      }
+      if (c1_full) {
+        if (agg < high_agg) {
+          for (int j = 0; j < nt; j++) {
+            if (c2_insert[j]) {
+              // 50/50 split by GLOBAL table parity (evlfu_8.cpp:570-588)
+              if (sh.tables[j] % 2 == 1) {
+                c1_fetch.push_back(j);
+                c2_insert[j] = 0;
+              }
+            }
+          }
+        }
+      } else {
+        for (int j = 0; j < nt; j++)
+          if (!c1_hit[j]) c1_fetch.push_back(j);
+        std::fill(c2_insert.begin(), c2_insert.end(), 0);
+        std::fill(c2_update.begin(), c2_update.end(), 0);
+        agg = agg_pure;
+      }
+
+      auto fetch_row = [&](int j) -> const float* {
+        int i = sh.tables[j];
+        storage.fetch(i, rows[i], tmp.data());
+        return tmp.data();
+      };
+
+      if (c2) {
+        for (int j = 0; j < nt; j++) {
+          int i = sh.tables[j];
+          if (c2_insert[j]) {
+            const float* src = fetch_row(j);
+            encode_row(src, enc.data(), c2->precision(), D);
+            c2->set(keys[j], enc.data(), agg, &evicted);
+            decode_row(enc.data(), out + i * D, c2->precision(), D);
+          } else if (c2_update[j]) {
+            const uint8_t* v = c2->update_agg_cached(e2v[j], keys[j], agg,
+                                                     gen2);
+            if (!v) {
+              const float* src = fetch_row(j);
+              encode_row(src, enc.data(), c2->precision(), D);
+              c2->set(keys[j], enc.data(), agg, &evicted);
+              decode_row(enc.data(), out + i * D, c2->precision(), D);
+            } else {
+              decode_row(v, out + i * D, c2->precision(), D);
+            }
+          }
+        }
+        evicted.clear();
+      }
+
+      for (int j : c1_fetch) {
+        int i = sh.tables[j];
+        const float* src = fetch_row(j);
+        encode_row(src, enc.data(), c1->precision(), D);
+        c1->set(keys[j], enc.data(), agg, &evicted);
+        decode_row(enc.data(), out + i * D, c1->precision(), D);
+      }
+      evicted.clear();
+      for (int j = 0; j < nt; j++) {
+        if (!c1_hit[j]) continue;
+        int i = sh.tables[j];
+        const uint8_t* v = c1->update_agg_cached(e1[j], keys[j], agg, gen1);
+        if (v) {
+          decode_row(v, out + i * D, c1->precision(), D);
+        } else {
+          const float* src = fetch_row(j);
+          encode_row(src, enc.data(), c1->precision(), D);
+          decode_row(enc.data(), out + i * D, c1->precision(), D);
+        }
+      }
+      if (agg == T) c1->note_perfect();
+    }
+  }
+
+  long lookup_batch(const int64_t* idx, long B, float* out) {
+    if (!validate_rows(idx, B * n_tables)) return -2;
+    b_idx = idx;
+    b_out = out;
+    b_B = B;
+    if ((long)agg_sum.size() < B) {
+      std::vector<std::atomic<uint32_t>> a(B), c(B);
+      agg_sum.swap(a);
+      agg_cnt.swap(c);
+    }
+    for (long b = 0; b < B; b++) {
+      agg_sum[b].store(0, std::memory_order_relaxed);
+      agg_cnt[b].store(0, std::memory_order_relaxed);
+    }
+    long p0 = (long)n_perfect;
+    {
+      std::unique_lock<std::mutex> lk(mu);
+      running = W - 1;
+      epoch++;
+    }
+    cv.notify_all();
+    run_worker(0);                      // caller participates as worker 0
+    {
+      std::unique_lock<std::mutex> lk(mu);
+      done_cv.wait(lk, [&] { return running == 0; });
+    }
+    return (long)n_perfect - p0;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* esv_shard_init(int n_workers, int n_tables, int dim, int n_layers,
+                     long c1_cap, long c2_cap,
+                     int main_precision, int secondary_precision,
+                     float flush_rate, float perfect_cap,
+                     int high_agg_threshold, int policy_kind) {
+  if (n_tables < 1 || n_tables > kMaxTables || dim < 1) return nullptr;
+  if (n_workers < 1 || n_workers > n_tables || n_layers > 2) return nullptr;
+  ShardedEngine* e = new ShardedEngine();
+  e->n_tables = n_tables;
+  e->dim = dim;
+  e->n_layers = n_layers;
+  e->high_agg = high_agg_threshold;
+  e->W = n_workers;
+  e->storage.dim = dim;
+  e->shards.resize(n_workers);
+  for (int t = 0; t < n_tables; t++)
+    e->shards[t % n_workers].tables.push_back(t);
+  for (int w = 0; w < n_workers; w++) {
+    double share = (double)e->shards[w].tables.size() / n_tables;
+    size_t cw1 = std::max<size_t>(1, (size_t)(c1_cap * share + 0.5));
+    e->shards[w].c1 = new EvLFUTier(cw1, n_tables, flush_rate, perfect_cap,
+                                    main_precision, dim,
+                                    (PolicyKind)policy_kind);
+    if (n_layers >= 2) {
+      size_t cw2 = std::max<size_t>(1, (size_t)(c2_cap * share + 0.5));
+      e->shards[w].c2 = new EvLFUTier(cw2, n_tables, flush_rate, perfect_cap,
+                                      secondary_precision, dim);
+    }
+  }
+  for (int w = 1; w < n_workers; w++)
+    e->threads.emplace_back([e, w] { e->worker_loop(w); });
+  return e;
+}
+
+int esv_shard_borrow_table(void* h, int table, const float* data,
+                           long n_rows) {
+  ShardedEngine* e = (ShardedEngine*)h;
+  if (table >= e->n_tables) return -1;
+  if ((int)e->storage.borrowed.size() < e->n_tables) {
+    e->storage.borrowed.assign(e->n_tables, nullptr);
+    e->storage.borrowed_rows.assign(e->n_tables, 0);
+  }
+  e->storage.borrowed[table] = data;
+  e->storage.borrowed_rows[table] = n_rows;
+  e->storage.file_mode = false;
+  return 0;
+}
+
+long esv_shard_lookup_batch(void* h, const int64_t* idx, long B, float* out) {
+  return ((ShardedEngine*)h)->lookup_batch(idx, B, out);
+}
+
+// stats: [requests, perfect, c1_size, c1_hit_rate, c2_size, c2_hit_rate]
+void esv_shard_stats(void* h, double* out) {
+  ShardedEngine* e = (ShardedEngine*)h;
+  out[0] = (double)e->n_requests;
+  out[1] = (double)e->n_perfect;
+  double c1s = 0, c1h = 0, c1l = 0, c2s = 0, c2h = 0, c2l = 0;
+  for (auto& s : e->shards) {
+    c1s += s.c1->size(); c1h += (double)s.c1->n_hits;
+    c1l += (double)s.c1->n_lookups;
+    if (s.c2) {
+      c2s += s.c2->size(); c2h += (double)s.c2->n_hits;
+      c2l += (double)s.c2->n_lookups;
+    }
+  }
+  out[2] = c1s;
+  out[3] = c1l > 0 ? c1h / c1l : 0.0;
+  out[4] = c2s;
+  out[5] = c2l > 0 ? c2h / c2l : 0.0;
+}
+
+void esv_shard_close(void* h) { delete (ShardedEngine*)h; }
 
 }  // extern "C"

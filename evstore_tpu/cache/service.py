@@ -13,9 +13,16 @@ BATCHED protocol.
 Protocol (little-endian):
   request:  uint32 B, uint32 T, then B*T int64 row ids
   response: uint32 n_floats, then B*T*D float32 rows
-One connection handles many requests.  Threaded server (one thread per
-connection; the engine lock serializes cache mutation like the reference's
-worker pool does).
+One connection handles many requests.  Two concurrency modes:
+
+- mode="lock" (the reference's shape): one thread per connection, the
+  engine lock serializes cache mutation like its 10-worker pool does
+  (every worker contends on the one cache, cache_manager.cpp:292-385).
+- mode="batched" (round 4): per-connection readers enqueue requests; ONE
+  dispatcher thread drains everything pending into a single engine batch
+  (arrival order), executes once, and fans the rows back out.  Concurrent
+  clients therefore AMORTIZE the engine pass instead of contending for
+  it — throughput grows with client count instead of flatlining.
 """
 
 from __future__ import annotations
@@ -44,21 +51,59 @@ class EmbeddingServer:
     a bare StorageManager (via a small adapter)."""
 
     def __init__(self, engine, dim: int, host: str = "127.0.0.1",
-                 port: int = 0):
+                 port: int = 0, mode: str = "lock", max_batch_rows: int = 4096):
+        if mode not in ("lock", "batched"):
+            raise ValueError(f"unknown service mode {mode!r}")
         self.engine = engine
         self.dim = dim
+        self.mode = mode
+        self.max_batch_rows = max_batch_rows
         self._lock = threading.Lock()
         self._srv = socket.create_server((host, port))
         self.port = self._srv.getsockname()[1]
         self._stop = threading.Event()
         self._threads = []
         self._accept_thread: Optional[threading.Thread] = None
+        self._queue = []                      # [(idx, holder, event)]
+        self._qcv = threading.Condition()
+        self._dispatcher: Optional[threading.Thread] = None
 
     def start(self):
         self._accept_thread = threading.Thread(target=self._accept_loop,
                                                daemon=True)
         self._accept_thread.start()
+        if self.mode == "batched":
+            self._dispatcher = threading.Thread(target=self._dispatch_loop,
+                                                daemon=True)
+            self._dispatcher.start()
         return self
+
+    def _dispatch_loop(self):
+        while not self._stop.is_set():
+            with self._qcv:
+                while not self._queue and not self._stop.is_set():
+                    self._qcv.wait(timeout=0.2)
+                if self._stop.is_set():
+                    return
+                batch, rows = [], 0
+                while self._queue and rows < self.max_batch_rows:
+                    item = self._queue.pop(0)
+                    batch.append(item)
+                    rows += item[0].shape[0]
+            idx_cat = np.concatenate([b[0] for b in batch], axis=0)
+            try:
+                out = self.engine.request_batch(idx_cat)
+                err = None
+            except Exception as e:          # propagate to every waiter
+                out, err = None, e
+            off = 0
+            for idx, holder, ev in batch:
+                if err is None:
+                    holder.append(out[off:off + idx.shape[0]])
+                else:
+                    holder.append(err)
+                off += idx.shape[0]
+                ev.set()
 
     def _accept_loop(self):
         self._srv.settimeout(0.2)
@@ -81,8 +126,18 @@ class EmbeddingServer:
                 B, T = struct.unpack("<II", header)
                 raw = _recv_exact(conn, B * T * 8)
                 idx = np.frombuffer(raw, np.int64).reshape(B, T)
-                with self._lock:
-                    rows = self.engine.request_batch(idx)
+                if self.mode == "batched":
+                    holder, ev = [], threading.Event()
+                    with self._qcv:
+                        self._queue.append((idx, holder, ev))
+                        self._qcv.notify()
+                    ev.wait()
+                    if isinstance(holder[0], Exception):
+                        raise ConnectionError(str(holder[0]))
+                    rows = holder[0]
+                else:
+                    with self._lock:
+                        rows = self.engine.request_batch(idx)
                 payload = np.ascontiguousarray(rows, np.float32).tobytes()
                 conn.sendall(struct.pack("<I", len(payload) // 4) + payload)
         except (ConnectionError, OSError):
@@ -92,6 +147,8 @@ class EmbeddingServer:
 
     def stop(self):
         self._stop.set()
+        with self._qcv:
+            self._qcv.notify_all()
         try:
             self._srv.close()
         except OSError:

@@ -132,3 +132,55 @@ def test_memory_utils():
     device_memory()   # may be {} on CPU; must not raise
     b = HBMBallast(1)
     b.release()
+
+
+def test_batched_mode_concurrent_clients():
+    """mode="batched": N concurrent clients' requests are aggregated into
+    single engine batches (one engine pass serves many connections) and
+    every client still receives exactly its own rows."""
+    import threading
+    from evstore_tpu.cache.service import EmbeddingClient, EmbeddingServer
+    from evstore_tpu.cache.storage import StorageManager
+
+    rng = np.random.default_rng(0)
+    sizes = [60, 40, 30]
+    dim = 8
+    tables = [np.asarray(rng.uniform(-1, 1, (s, dim)), np.float32)
+              for s in sizes]
+    sm = StorageManager("dummy", dim=dim).load(tables=tables)
+
+    class Adapter:
+        calls = 0
+
+        def request_batch(self, idx):
+            Adapter.calls += 1
+            return np.stack([np.stack([tables[t][r] for t, r in
+                                       enumerate(row)]) for row in idx])
+    srv = EmbeddingServer(Adapter(), dim, mode="batched").start()
+    errs = []
+
+    def client(seed):
+        try:
+            c = EmbeddingClient("127.0.0.1", srv.port, len(sizes), dim)
+            r = np.random.default_rng(seed)
+            for _ in range(20):
+                idx = np.stack([r.integers(0, s, 4) for s in sizes], axis=1)
+                got = c.request_batch(idx)
+                want = np.stack([np.stack([tables[t][row[t]]
+                                           for t in range(len(sizes))])
+                                 for row in idx])
+                np.testing.assert_allclose(got, want, rtol=1e-6)
+            c.sock.close()
+        except Exception as e:   # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=client, args=(s,)) for s in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    srv.stop()
+    sm.close()
+    assert not errs, errs
+    # aggregation actually happened: fewer engine passes than requests
+    assert Adapter.calls < 6 * 20

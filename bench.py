@@ -457,14 +457,16 @@ def bench_hybrid_tiers(cfg, B=1024, n_steps=30, total_size=24_000):
     dcfg = RandomDataConfig(num_dense=1, table_sizes=sizes, batch_size=B,
                             num_batches=n_warmup + n_steps, seed=3,
                             distribution="zipf", zipf_alpha=1.05)
+    # pre-generate (the zipf sampler was inside the timed loop) and run
+    # the assigner pipelined one batch ahead of the device apply
+    batches = [idx for _, idx, _ in random_batches(dcfg)]
     n = 0
     t0 = None
     rows = None
-    for k, (_, idx, _) in enumerate(random_batches(dcfg)):
+    for k, rows in enumerate(dc.lookup_batches_pipelined(batches)):
         if k == n_warmup:
             device_sync(rows)
             t0 = time.perf_counter()
-        rows = dc.lookup_batch(idx)
         if k >= n_warmup:
             n += B
     device_sync(rows)

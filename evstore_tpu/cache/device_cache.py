@@ -449,8 +449,8 @@ class NativeDeviceC1Cache:
         self.engine.open_table_files(bin_dir, table_sizes, precision)
         return self
 
-    def lookup_batch(self, idx: np.ndarray, as_numpy: bool = False):
-        slots, scat_slots, scat_m, buf = self.assigner.assign_batch(idx)
+    def _apply_assign(self, assign, as_numpy: bool = False):
+        slots, scat_slots, scat_m, buf = assign
         bk = self.insert_bucket
         M = buf.shape[0]
         Mp = max(bk, ((M + bk - 1) // bk) * bk)
@@ -473,6 +473,27 @@ class NativeDeviceC1Cache:
                 self.cache_values, jnp.asarray(slots), jnp.asarray(ss),
                 jnp.asarray(sm), jnp.asarray(buf_p))
         return np.asarray(out) if as_numpy else out
+
+    def lookup_batch(self, idx: np.ndarray, as_numpy: bool = False):
+        return self._apply_assign(self.assigner.assign_batch(idx), as_numpy)
+
+    def lookup_batches_pipelined(self, batches, as_numpy: bool = False):
+        """Generator over batches with the HOST ASSIGNER pipelined one
+        batch ahead of the device apply: the C++ policy pass for batch
+        k+1 (the serial cost of the hybrid tier stack) overlaps batch k's
+        packing/quantize/dispatch on the main thread.  Policy order is
+        unchanged (the worker runs assigns sequentially)."""
+        import concurrent.futures as cf
+        with cf.ThreadPoolExecutor(max_workers=1) as ex:
+            prev = None
+            for idx in batches:
+                idx = np.asarray(idx)
+                fut = ex.submit(self.assigner.assign_batch, idx)
+                if prev is not None:
+                    yield self._apply_assign(prev.result(), as_numpy)
+                prev = fut
+            if prev is not None:
+                yield self._apply_assign(prev.result(), as_numpy)
 
     def request_batch(self, idx: np.ndarray) -> np.ndarray:
         return self.lookup_batch(idx, as_numpy=True)

@@ -523,23 +523,28 @@ class EvLFUTier {
 
 class AltKeyTier {  // aprx_embedding.cpp
  public:
-  AltKeyTier(size_t cap, int eviction) : cap_(cap), eviction_(eviction) {}
+  AltKeyTier(size_t cap, int eviction) : cap_(cap), eviction_(eviction) {
+    map_.reserve(cap + 16);   // FlatMap: ~2x faster probes than the
+                              // std::unordered_map it replaced (round 4,
+                              // the C3 probe is on the double-miss path)
+  }
 
   bool get(uint64_t k, uint32_t* alt) {
-    auto it = map_.find(k);
-    if (it == map_.end()) return false;
-    *alt = it->second.alt;
+    V* p = map_.find(k);
+    if (!p) return false;
+    *alt = p->alt;
     return true;
   }
+  void prefetch_key(uint64_t k) const { map_.prefetch(k); }
   void set_recency(uint64_t k) {
-    auto it = map_.find(k);
-    if (it != map_.end()) it->second.recency = true;
+    V* p = map_.find(k);
+    if (p) p->recency = true;
   }
   void insert(uint64_t k, uint32_t alt) {
-    auto it = map_.find(k);
-    if (it != map_.end()) { it->second.alt = alt; return; }
+    V* p = map_.find(k);
+    if (p) { p->alt = alt; return; }
     while (map_.size() >= cap_ && cap_ > 0) evict_one();
-    map_[k] = {alt, false};
+    map_.insert(k, {alt, false});
     fifo_.push_back(k);
   }
   size_t size() const { return map_.size(); }
@@ -549,21 +554,21 @@ class AltKeyTier {  // aprx_embedding.cpp
     while (!fifo_.empty()) {
       uint64_t k = fifo_.front();
       fifo_.pop_front();
-      auto it = map_.find(k);
-      if (it == map_.end()) continue;  // stale fifo entry
-      if (eviction_ == 2 && it->second.recency) {
-        it->second.recency = false;
+      V* p = map_.find(k);
+      if (!p) continue;                // stale fifo entry
+      if (eviction_ == 2 && p->recency) {
+        p->recency = false;
         fifo_.push_back(k);            // second chance
         continue;
       }
-      map_.erase(it);
+      map_.erase(k);
       return;
     }
   }
   struct V { uint32_t alt; bool recency; };
   size_t cap_;
   int eviction_;
-  std::unordered_map<uint64_t, V> map_;
+  FlatMap<V> map_;
   std::deque<uint64_t> fifo_;
 };
 

@@ -243,3 +243,27 @@ def test_hybrid_c3_altkey_approximate_serving(setup, rng):
     s2 = dc.stats()
     assert s2["c3"]["hits"] >= n_c3
     dc.close()
+
+
+def test_pipelined_lookup_matches_sequential(setup, rng):
+    """lookup_batches_pipelined overlaps the assigner with the device
+    apply but must keep the exact sequential policy trajectory."""
+    from evstore_tpu.cache.device_cache import NativeDeviceC1Cache
+
+    sm, tables = setup
+    cfg = CacheConfig(policy="evlfu", total_size=24, main_precision=32)
+    a = NativeDeviceC1Cache(cfg, N_TABLES, DIM,
+                            insert_bucket=32).load_tables(tables)
+    b = NativeDeviceC1Cache(cfg, N_TABLES, DIM,
+                            insert_bucket=32).load_tables(tables)
+    batches = [np.stack([rng.integers(0, 30, N_TABLES) for _ in range(40)])
+               for _ in range(6)]
+    seq = [a.lookup_batch(x, as_numpy=True) for x in batches]
+    pipe = list(b.lookup_batches_pipelined(batches, as_numpy=True))
+    for x, y in zip(seq, pipe):
+        np.testing.assert_array_equal(x, y)
+    sa, sb = a.stats(), b.stats()
+    for k in ("requests", "perfect_hits"):
+        if k in sa:
+            assert sa[k] == sb[k]
+    a.close(); b.close()

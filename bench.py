@@ -301,11 +301,16 @@ def bench_train_pipelined(cfg, B=65536, n_lo=8, n_hi=24):
     rec.tofile(bin_path)
 
     tcfg = TrainConfig(batch_size=B, learning_rate=0.1, optimizer="rwsadagrad")
-    step = jax.jit(make_train_step(cfg, tcfg), donate_argnums=(0, 1))
+    from evstore_tpu.train.optim import make_pack_spec, pack_tables
+    pack_spec = make_pack_spec(init_dlrm(jax.random.PRNGKey(0), cfg),
+                               tcfg.optimizer)
+    step = jax.jit(make_train_step(cfg, tcfg, pack=pack_spec),
+                   donate_argnums=(0, 1))
 
     def run_n(n_steps):
         params = init_dlrm(jax.random.PRNGKey(0), cfg)
         opt_state = init_opt_state(params, tcfg)
+        params, opt_state = pack_tables(params, opt_state, pack_spec)
         ds = CriteoBinDataset(bin_path, batch_size=B)
 
         def stream():

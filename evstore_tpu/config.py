@@ -175,6 +175,11 @@ class TrainConfig:
     # checkpointing
     save_model: str = ""
     load_model: str = ""
+    # packed big-table layout (round 4): store tables past the VMEM-cliff
+    # threshold as [N/P, P*D] for ~10x faster row gathers (EXPERIMENTS
+    # §21).  train() packs before the loop and unpacks before returning,
+    # so checkpoints/eval always see the logical [N, D] layout.
+    pack_gather: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -257,8 +257,15 @@ def train(params: DLRMParams, cfg: DLRMConfig, tcfg: TrainConfig,
           log_fn=print) -> Tuple[DLRMParams, OptState, Dict]:
     """Simple epoch driver (the big loop of dlrm_s_pytorch.py:1574-1854).
     train_batches: iterable of (dense, idx, labels) numpy batches."""
-    step_fn = jax.jit(make_train_step(cfg, tcfg), donate_argnums=(0, 1))
+    from evstore_tpu.train.optim import (make_pack_spec, pack_tables,
+                                         unpack_tables)
+    pack_spec = (make_pack_spec(params, tcfg.optimizer)
+                 if getattr(tcfg, "pack_gather", True) else {})
+    step_fn = jax.jit(make_train_step(cfg, tcfg, pack=pack_spec),
+                      donate_argnums=(0, 1))
     opt_state = init_opt_state(params, tcfg)
+    if pack_spec:
+        params, opt_state = pack_tables(params, opt_state, pack_spec)
     history = {"loss": [], "it_per_s": None}
     losses = []
     t0 = time.perf_counter()
@@ -280,6 +287,8 @@ def train(params: DLRMParams, cfg: DLRMConfig, tcfg: TrainConfig,
             log_fn(f"step {n}: loss {lv:.6f}")
     jax.block_until_ready(params.dense)
     dt = time.perf_counter() - t0
+    if pack_spec:
+        params, opt_state = unpack_tables(params, opt_state, pack_spec)
     history["loss"] = losses
     history["it_per_s"] = n / dt if dt > 0 else float("inf")
     if test_batches is not None:

@@ -48,23 +48,62 @@ def _tril_select(num_features: int, self_interaction: bool):
     return s
 
 
+@functools.lru_cache(maxsize=None)
+def _split_select(num_features: int, self_interaction: bool):
+    """[1 + T + T*T, P] 0/1 selection over the SPLIT gram parts
+    [x.x | x.ly (T) | ly-gram flat (T*T)], preserving the reference's
+    tril column order.  Avoids concatenating x into a [B, F, D] feats
+    array: the concat and its backward cost two ~1.6 ms relayout copies
+    per B=65536 step on v5e (round-4 trace; scripts/ab_interaction_r4.py:
+    fwd+bwd 15.8 -> 9.1 ms isolated)."""
+    T = num_features - 1
+    li, lj = _tril_indices(num_features, self_interaction)
+    s = np.zeros((1 + T + T * T, len(li)), np.float32)
+    for col, (i, j) in enumerate(zip(li, lj)):
+        if i == 0 and j == 0:
+            s[0, col] = 1.0                               # <x, x>
+        elif j == 0:
+            s[1 + (i - 1), col] = 1.0                     # <ly_{i-1}, x>
+        else:
+            s[1 + T + (i - 1) * T + (j - 1), col] = 1.0   # <ly_i, ly_j>
+    return s
+
+
 def dot_interaction(x: jnp.ndarray, ly: jnp.ndarray,
                     self_interaction: bool = False) -> jnp.ndarray:
     """x: [B, D] dense features; ly: [B, T, D] embedding vectors.
 
     Returns [B, D + P] with P = (T+1)T/2 (+T+1 if self_interaction).
+
+    The Gram products are computed in SPLIT form (x.x, x.ly, ly-gram)
+    instead of over a concatenated [B, F, D] feats array — the same
+    pairwise dots (dlrm_s_pytorch.py:483-516) without the feats concat,
+    whose forward + backward were two ~1.6 ms relayout copies per step
+    at B=65536 (round-4 trace; see _split_select).
     """
     B, D = x.shape
     T = ly.shape[1]
     F = T + 1
-    feats = jnp.concatenate([x[:, None, :], ly], axis=1)       # [B, F, D]
     # precision=HIGHEST: the interaction is quality-critical and tiny next
     # to the MLPs (F*F*D MACs/sample), so don't let the MXU demote the f32
     # operands to bf16 (the default); matches the Pallas fused kernel.
-    gram = jnp.einsum("bfd,bgd->bfg", feats, feats,
-                      preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)       # [B, F, F]
-    S = jnp.asarray(_tril_select(F, self_interaction), x.dtype)
+    hp = jax.lax.Precision.HIGHEST
+    xly = jnp.einsum("bd,btd->bt", x, ly,
+                     preferred_element_type=jnp.float32,
+                     precision=hp)                               # [B, T]
+    gly = jnp.einsum("btd,bsd->bts", ly, ly,
+                     preferred_element_type=jnp.float32,
+                     precision=hp)                               # [B, T, T]
+    if self_interaction:
+        xx = jnp.einsum("bd,bd->b", x, x,
+                        preferred_element_type=jnp.float32,
+                        precision=hp)[:, None]                   # [B, 1]
+    else:
+        xx = jnp.zeros((B, 1), jnp.float32)     # column never selected
+    parts = jnp.concatenate(
+        [xx.astype(x.dtype), xly.astype(x.dtype),
+         gly.reshape(B, T * T).astype(x.dtype)], axis=1)  # [B, 1+T+T*T]
+    S = jnp.asarray(_split_select(F, self_interaction), x.dtype)
     # f32 inputs need HIGHEST here too: the default MXU precision truncates
     # the f32 gram to bf16 *before* the 0/1 selection, silently rounding the
     # output (caught by the compiled Pallas parity test).  HIGHEST's 3-term
@@ -75,8 +114,7 @@ def dot_interaction(x: jnp.ndarray, ly: jnp.ndarray,
     # would need more terms; x64 is disabled here, so this is future-proofing)
     sel_prec = (jax.lax.Precision.HIGHEST
                 if x.dtype == jnp.float32 else None)
-    flat = jnp.dot(gram.reshape(B, F * F).astype(x.dtype), S,
-                   preferred_element_type=jnp.float32,
+    flat = jnp.dot(parts, S, preferred_element_type=jnp.float32,
                    precision=sel_prec).astype(x.dtype)           # [B, P]
     return jnp.concatenate([x, flat], axis=1)
 

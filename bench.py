@@ -209,7 +209,7 @@ def _batches(cfg, B, n, seed=0, zipf=False):
     return list(random_batches(dcfg))
 
 
-def bench_train(cfg, B=65536, n_lo=4, n_hi=12, n_windows=3):
+def bench_train(cfg, B=65536, n_lo=4, n_hi=12, n_windows=5):
     """Device-resident training throughput: n steps STATICALLY UNROLLED in
     one donated jit dispatch over 8 staged batches (closure constants, so
     batch selection is static), fenced by transferring the final loss;
@@ -225,7 +225,10 @@ def bench_train(cfg, B=65536, n_lo=4, n_hi=12, n_windows=3):
     (device execution time from the profiler trace: 64.8 ms.)
 
     B=65536: top of the honest saturation sweep (scripts/b_saturation.py,
-    EXPERIMENTS 11) and the top of the MLPerf DLRM global-batch recipe."""
+    EXPERIMENTS 11) and the top of the MLPerf DLRM global-batch recipe.
+    Run-to-run spread on this tunnel is ~±15% (51.6-69.1 ms observed for
+    identical code); n_windows=5 min-of-reps per endpoint tightens the
+    slope toward the true cost."""
     import functools
     import jax
     import jax.numpy as jnp

@@ -260,21 +260,25 @@ def bench_train(cfg, B=65536, n_lo=4, n_hi=12, n_windows=5):
         opt_state = init_opt_state(params, tcfg)
         return pack_tables(params, opt_state, pack_spec)
 
-    ts = {}
-    for n in (n_lo, n_hi):
+    def window(n):
         params, opt_state = fresh()
-        params, opt_state, l = run_n(params, opt_state, n)  # compile + warm
+        t0 = time.perf_counter()
+        params, opt_state, l = run_n(params, opt_state, n)
         device_sync(l)
-        best = float("inf")
-        for _ in range(n_windows):
-            params, opt_state = fresh()
-            t0 = time.perf_counter()
-            params, opt_state, l = run_n(params, opt_state, n)
-            device_sync(l)
-            best = min(best, time.perf_counter() - t0)
-        ts[n] = best
-    per_step = (ts[n_hi] - ts[n_lo]) / (n_hi - n_lo)
-    return B / per_step, per_step
+        return time.perf_counter() - t0
+
+    for n in (n_lo, n_hi):            # compile + warm both programs
+        params, opt_state = fresh()
+        device_sync(run_n(params, opt_state, n)[2])
+    # PAIRED slopes, median-of-pairs: single windows carry tunnel noise
+    # of either sign, so min-of-mins can bias the slope; the median of
+    # per-pair slopes is robust (observed raw spread 39.9-69.1 ms for
+    # identical code before this)
+    slopes = sorted((window(n_hi) - window(n_lo)) / (n_hi - n_lo)
+                    for _ in range(n_windows))
+    per_step = slopes[len(slopes) // 2]
+    band = (slopes[0], slopes[-1])
+    return B / per_step, per_step, band
 
 
 def bench_train_pipelined(cfg, B=65536, n_lo=8, n_hi=24):
@@ -949,7 +953,8 @@ def main():
 
     log("bench: train (staged, on-device scan)...")
     B = 65536
-    train_eps, step_s = bench_train(cfg, B=B)
+    train_eps, step_s, step_band = bench_train(cfg, B=B)
+    results["train_step_ms_band"] = [b * 1e3 for b in step_band]
     fl_train = model_flops_per_example(cfg, training=True)
     by_train = model_train_bytes_per_example(cfg, B)
     mfu = train_eps * fl_train / peak_tflops_nominal

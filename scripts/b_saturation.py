@@ -25,7 +25,7 @@ def main():
                                    compute_dtype="bfloat16")
     out = {}
     for B in (8192, 16384, 32768, 65536):
-        eps, step_ms = bench.bench_train(cfg, B=B, n_lo=8, n_hi=24)
+        eps, step_ms, _ = bench.bench_train(cfg, B=B, n_lo=8, n_hi=24)
         out[f"B{B}"] = {"examples_per_s": eps, "step_ms": step_ms * 1e3}
         print(f"B={B}: {eps:,.0f} ex/s ({step_ms*1e3:.2f} ms/step)",
               flush=True)

@@ -72,6 +72,7 @@ def run_training(cfg: DLRMConfig, tcfg: TrainConfig,
             log_fn(f"resumed from checkpoint step {s}")
 
     sync_params = lambda p: p   # butterfly mode reconstructs on demand
+    sync_pair = lambda p, o: (p, o)   # logical view for checkpoints
     if mesh is not None and alltoall_impl in ("butterfly", "alltoall"):
         from jax.sharding import Mesh as _Mesh
         from evstore_tpu.parallel.butterfly import (
@@ -125,7 +126,24 @@ def run_training(cfg: DLRMConfig, tcfg: TrainConfig,
             multihot=multihot)(params)
             if make_test_batches else None)
     else:
-        step_fn = jax.jit(make_train_step(cfg, tcfg), donate_argnums=(0, 1))
+        from evstore_tpu.train.optim import (make_pack_spec, pack_tables,
+                                             unpack_tables)
+        pack_spec = (make_pack_spec(params, tcfg.optimizer)
+                     if getattr(tcfg, "pack_gather", True) else {})
+        step_fn = jax.jit(make_train_step(cfg, tcfg, pack=pack_spec),
+                          donate_argnums=(0, 1))
+        if pack_spec:
+            params, opt_state = pack_tables(params, opt_state, pack_spec)
+
+            def sync_params(p):
+                # logical [N, D] view for eval/EV-export; the packed
+                # training state is untouched
+                return unpack_tables(p, opt_state, pack_spec)[0]
+
+            def sync_pair(p, o):
+                # checkpoints always persist the LOGICAL layout so
+                # resume is layout-independent
+                return unpack_tables(p, o, pack_spec)
         eval_step = make_eval_step(cfg) if make_test_batches else None
 
     best = -float("inf")
@@ -173,7 +191,8 @@ def run_training(cfg: DLRMConfig, tcfg: TrainConfig,
                 if score > best:
                     best = score
                     if ckpt_dir:
-                        save_checkpoint(ckpt_dir, step, eval_p, opt_state,
+                        _, ck_state = sync_pair(params, opt_state)
+                        save_checkpoint(ckpt_dir, step, eval_p, ck_state,
                                         extra={"metrics": metrics})
                     if ev_export_dir:
                         export_ev_tables(eval_p, ev_export_dir,
@@ -193,7 +212,7 @@ def run_training(cfg: DLRMConfig, tcfg: TrainConfig,
             break
 
     # final eval + save
-    params = sync_params(params)
+    params, opt_state = sync_pair(params, opt_state)
     if make_test_batches:
         metrics = evaluate(params, cfg, make_test_batches(), eval_step)
         history["eval"].append((step, metrics))

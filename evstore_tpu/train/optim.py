@@ -300,20 +300,34 @@ def make_pack_spec(params, optimizer: str) -> Dict[str, int]:
 
 
 def pack_tables(params, opt_state: OptState, spec: Dict[str, int]):
-    """Device-side relayout of the spec'd tables (and rwsadagrad row
-    accumulators) into the packed shapes.  One-time cost."""
+    """Device-side relayout of the spec'd tables (and their optimizer
+    state) into the packed shapes.  One-time cost.
+
+    rwsadagrad tables become AUGMENTED packed arrays [N/P, P*d + P]: the
+    P per-logical-row accumulators ride as extra lanes of the same row.
+    The whole update is then ONE fused elementwise pass
+    (aug - taken * signs, see row_update_packed) instead of a separate
+    state pass that re-read the [N/P, P*d+P] take output for 2 lanes
+    (~1.1 ms/table at B=65536); the gather cost is unchanged (74 lanes
+    pad to the same 128-lane tile as 72).  opt_state keeps a [0]-shaped
+    placeholder so the pytree structure survives.
+    adagrad state mirrors the packed table shape; sgd has no state."""
     sparse = dict(params.sparse)
     sp_state = dict(opt_state.sparse)
     for name, f in spec.items():
         tab = sparse[name]["kind_plain"]
         n, d = tab.shape
-        sparse[name] = {"kind_plain": tab.reshape(n // f, d * f)}
-        # state mirrors the packed layout: rwsadagrad [N] -> [N/P, P],
-        # adagrad [N, D] -> [N/P, P*D]
-        if name in sp_state and getattr(sp_state[name], "ndim", 0) == 1:
-            sp_state[name] = sp_state[name].reshape(n // f, f)
-        elif name in sp_state and getattr(sp_state[name], "ndim", 0) == 2:
-            sp_state[name] = sp_state[name].reshape(n // f, d * f)
+        packed = tab.reshape(n // f, d * f)
+        st = sp_state.get(name)
+        if st is not None and getattr(st, "ndim", 0) == 1:   # rwsadagrad
+            aug = jnp.concatenate(
+                [packed, st.reshape(n // f, f).astype(packed.dtype)], axis=1)
+            sparse[name] = {"kind_plain": aug}
+            sp_state[name] = jnp.zeros((0,), jnp.float32)    # placeholder
+        else:
+            sparse[name] = {"kind_plain": packed}
+            if st is not None and getattr(st, "ndim", 0) == 2:  # adagrad
+                sp_state[name] = st.reshape(n // f, d * f)
     return (params._replace(sparse=sparse),
             opt_state._replace(sparse=sp_state))
 
@@ -322,15 +336,20 @@ def unpack_tables(params, opt_state: OptState, spec: Dict[str, int]):
     sparse = dict(params.sparse)
     sp_state = dict(opt_state.sparse)
     for name, f in spec.items():
-        tab = sparse[name]["kind_plain"]
-        np_, dp = tab.shape
-        sparse[name] = {"kind_plain": tab.reshape(np_ * f, dp // f)}
-        if name in sp_state and getattr(sp_state[name], "ndim", 0) == 2:
-            s = sp_state[name]
-            if s.shape == (np_, f):                      # rwsadagrad
-                sp_state[name] = s.reshape(np_ * f)
-            elif s.shape == (np_, dp):                   # adagrad
-                sp_state[name] = s.reshape(np_ * f, dp // f)
+        aug = sparse[name]["kind_plain"]
+        np_, dpa = aug.shape
+        st = sp_state.get(name)
+        if st is not None and getattr(st, "shape", None) == (0,):
+            # augmented rwsadagrad: split the accumulator lanes back out
+            dp = dpa - f
+            sparse[name] = {"kind_plain":
+                            aug[:, :dp].reshape(np_ * f, dp // f)}
+            sp_state[name] = aug[:, dp:].reshape(np_ * f).astype(jnp.float32)
+        else:
+            dp = dpa
+            sparse[name] = {"kind_plain": aug.reshape(np_ * f, dp // f)}
+            if st is not None and getattr(st, "ndim", 0) == 2:
+                sp_state[name] = st.reshape(np_ * f, dp // f)
     return (params._replace(sparse=sparse),
             opt_state._replace(sparse=sp_state))
 
@@ -338,19 +357,25 @@ def unpack_tables(params, opt_state: OptState, spec: Dict[str, int]):
 def row_update_packed(name: str, state, packed: jnp.ndarray,
                       ids: jnp.ndarray, grads: jnp.ndarray, pack: int,
                       lr, eps: float = 1e-10):
-    """row_update against the packed [N/P, P*d] layout.
+    """row_update against the packed layout.
 
     Logical semantics identical to row_update on the [N, d] view: the
     logical row grads [B, d] are widened into their sub-slot (exact: a
     0/1 one-hot product) and coalesced by PACKED row q = id//P; sub-slots
     never overlap, so summing widened grads of colliding logical rows is
-    the same as updating each separately.  sgd/adagrad are elementwise
-    and go straight through row_update; rwsadagrad keeps its PER-LOGICAL
-    row accumulator as [N/P, P] and computes the row-mean with 0/1
-    block matmuls so no [., P, d] reshape (= relayout) ever happens."""
+    the same as updating each separately.
+
+    sgd/adagrad are elementwise and go straight through row_update on the
+    [N/P, P*d] packed array.  rwsadagrad receives the AUGMENTED array
+    [N/P, P*d + P] (accumulator lanes ride the table rows, see
+    pack_tables; `state` is the [0] placeholder): all statistics run on
+    [b, .]-sized coalesced temps, the update rows AND accumulator
+    increments ride one [b+1, P*d+P] row-take, and the whole apply is a
+    single fused elementwise pass  aug - taken * signs  (signs = +1 on
+    value lanes, -1 on accumulator lanes).  Trace-driven: the previous
+    separate state pass re-read the take output for 2 lanes at ~1.1
+    ms/table per step."""
     name = name.lower()
-    npk, dp = packed.shape
-    d = dp // pack
     b = ids.shape[0]
     q = jnp.where(ids == PAD_ROW, PAD_ROW, ids // pack)
     oh = ((ids % pack)[:, None] ==
@@ -361,66 +386,51 @@ def row_update_packed(name: str, state, packed: jnp.ndarray,
     if name in ("sgd", "adagrad"):
         return row_update(name, state, packed, q, g_wide, lr, eps)
 
-    # rwsadagrad, packed tables (state stays LOGICAL [N]).  All statistics
-    # run on [b, .]-sized coalesced temps; the only big-array traffic is
-    # the packed read+write pass (with the upd take from a <10 MB padded
-    # operand fused into the subtract, same as the logical dense path) and
-    # one [N]-element state pass.  The first packed A/B showed why this
-    # matters: doing the coalesce/mean/scale at [N/P, P*d] scale cost
-    # ~1.9 ms/table and gave back most of the packed-gather win.
-    n_logical = npk * pack
+    npk, dpa = packed.shape            # augmented: dpa = P*d + P
+    dp = dpa - pack
+    d = dp // pack
+    signs = jnp.concatenate([jnp.ones((dp,), jnp.float32),
+                             -jnp.ones((pack,), jnp.float32)])[None, :]
+    # per-logical-row mean of the coalesced grads (same values the logical
+    # path's jnp.mean(G*G, axis=1) produces for touched rows)
     if npk > b * 256:
-        # huge tables: dedup + row scatter on packed rows
+        # huge tables: dedup + augmented row scatter
         uniq, summed, valid = dedup_rows(q, g_wide, b)
         gm = summed * valid[:, None]
         A = _block_mean_matrix(pack, d)
         mom_inc = jnp.dot(gm * gm, A, precision=jax.lax.Precision.HIGHEST)
-        acc_old = state.at[uniq].get(mode="fill", fill_value=0.0)  # [U, P]
+        acc_old = packed.at[uniq].get(mode="fill",
+                                      fill_value=0.0)[:, dp:]   # [U, P]
         new_acc = acc_old + mom_inc
-        new_state = scatter_rows_add(state, uniq, mom_inc)
-        std = jnp.sqrt(new_acc) + eps                       # [U, P]
+        std = jnp.sqrt(new_acc) + eps
         scale = jnp.repeat(std, d, axis=1)
-        new_tab = scatter_rows_add(packed, uniq, -lr * gm / scale)
-        return new_state, new_tab
+        delta = jnp.concatenate([-lr * gm / scale, mom_inc], axis=1)
+        new_aug = scatter_rows_add(packed, uniq, delta)
+        return state, new_aug
 
-    # rep-trick: coalesce by PACKED row into [b, P*d] (tiny), per-logical
-    # stats on [b, P], then ONE wide row-take feeding fused full passes.
-    # Lowering constraints discovered the hard way (r4 A/B + trace):
-    # - an [N]-element SCALAR take costs ~6.6 ns/elem in-step (XLA emits a
-    #   serialized per-element gather, trace fusion.19) while the same
-    #   data as ~74-wide ROWS gathers at ~2.2 ns/ROW — so the state
-    #   increment rides as 2 extra lanes on the update row-take;
-    # - never gather from the state/table CARRY (HBM, serialized); the
-    #   take operand here is a [b+1, P*d+P] temp.
+    # rep-trick: coalesce by PACKED row into [b, P*d] (tiny), stats on
+    # [b, P], one wide row-take, ONE fused pass over the augmented array.
     slot = jnp.full((npk,), b, jnp.int32).at[q].set(
         jnp.arange(b, dtype=jnp.int32), mode="drop")
     rep = slot.at[q].get(mode="fill", fill_value=b)
     Gc = jax.ops.segment_sum(g_wide, rep, num_segments=b + 1)[:b]  # [b, P*d]
-    # per-logical-row mean of the coalesced grads (same values the logical
-    # path's jnp.mean(G*G, axis=1) produces for touched rows; non-rep
-    # slots received nothing in the segment sum, so their rows are 0)
     mom_inc = jnp.stack(
         [jnp.mean(Gc[:, k * d:(k + 1) * d] ** 2, axis=1)
          for k in range(pack)], axis=1)                     # [b, P]
-    # std on the TINY side (trace r4: sqrt/div/sub as separate [N/P, P*d]
-    # passes cost ~4.6 ms/table; pre-dividing Gc here leaves the big
-    # arrays exactly two consumers: the take and one fused subtract).
-    # acc_c gathers B rows from the state CARRY — serialized but only
-    # B rows (~0.4 ms), unlike the forbidden [N]-scale carry gathers.
-    acc_c = jnp.take(state, jnp.minimum(q, npk - 1), axis=0)   # [b, P]
+    # acc gathered as B rows from the aug carry — bounded, unlike the
+    # forbidden [N]-scale carry gathers
+    acc_c = jnp.take(packed, jnp.minimum(q, npk - 1), axis=0)[:, dp:]
     std_c = jnp.sqrt(acc_c + mom_inc) + eps                 # [b, P]
     upd_c = jnp.concatenate(
         [lr * Gc[:, k * d:(k + 1) * d] / std_c[:, k:k + 1]
          for k in range(pack)], axis=1)                     # [b, P*d] tiny
     comb_pad = jnp.concatenate([
         jnp.concatenate([upd_c, mom_inc], axis=1),
-        jnp.zeros((1, dp + pack), jnp.float32)])            # [b+1, P*d+P]
-    taken = jnp.take(comb_pad, jnp.minimum(slot, b), axis=0)  # [npk, P*d+P]
-    new_state = state + taken[:, dp:]                       # [N/P, P]
-    new_tab = (packed.astype(jnp.float32)
-               - taken[:, :dp]).astype(packed.dtype)
-    return new_state, new_tab
-
+        jnp.zeros((1, dpa), jnp.float32)])                  # [b+1, P*d+P]
+    taken = jnp.take(comb_pad, jnp.minimum(slot, b), axis=0)  # [npk, dpa]
+    new_aug = (packed.astype(jnp.float32)
+               - taken * signs).astype(packed.dtype)
+    return state, new_aug
 
 import functools as _functools
 

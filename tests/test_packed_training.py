@@ -47,22 +47,32 @@ def test_row_update_packed_matches_logical(opt):
         st = rng.random((n, d)).astype(np.float32) * 0.01
         st_l, st_p = jnp.asarray(st), jnp.asarray(st.reshape(n // p, d * p))
     else:
+        # rwsadagrad: the packed table is AUGMENTED with the accumulator
+        # lanes; the separate state is a [0] placeholder
         st = rng.random(n).astype(np.float32) * 0.01
         st_l = jnp.asarray(st)
-        st_p = jnp.asarray(st.reshape(n // p, p))
+        st_p = jnp.zeros((0,), jnp.float32)
     new_st_l, new_tab_l = row_update(opt, st_l, jnp.asarray(table),
                                      jnp.asarray(ids), jnp.asarray(grads), 0.1)
+    packed_in = table.reshape(n // p, d * p)
+    if opt == "rwsadagrad":
+        packed_in = np.concatenate([packed_in, st.reshape(n // p, p)], axis=1)
     new_st_p, new_tab_p = row_update_packed(
-        opt, st_p, jnp.asarray(table.reshape(n // p, d * p)),
+        opt, st_p, jnp.asarray(packed_in),
         jnp.asarray(ids), jnp.asarray(grads), p, 0.1)
-    np.testing.assert_allclose(np.asarray(new_tab_p).reshape(n, d),
-                               np.asarray(new_tab_l), rtol=2e-6, atol=1e-7)
-    if opt == "adagrad":
-        np.testing.assert_allclose(np.asarray(new_st_p).reshape(n, d),
+    if opt == "rwsadagrad":
+        out = np.asarray(new_tab_p)
+        np.testing.assert_allclose(out[:, :d * p].reshape(n, d),
+                                   np.asarray(new_tab_l), rtol=2e-6, atol=1e-7)
+        np.testing.assert_allclose(out[:, d * p:].reshape(n),
                                    np.asarray(new_st_l), rtol=2e-6, atol=1e-8)
-    elif opt == "rwsadagrad":
-        np.testing.assert_allclose(np.asarray(new_st_p).reshape(n),
-                                   np.asarray(new_st_l), rtol=2e-6, atol=1e-8)
+    else:
+        np.testing.assert_allclose(np.asarray(new_tab_p).reshape(n, d),
+                                   np.asarray(new_tab_l), rtol=2e-6, atol=1e-7)
+        if opt == "adagrad":
+            np.testing.assert_allclose(np.asarray(new_st_p).reshape(n, d),
+                                       np.asarray(new_st_l), rtol=2e-6,
+                                       atol=1e-8)
 
 
 def test_packed_training_matches_logical_trajectory():
@@ -123,15 +133,17 @@ def test_row_update_packed_rep_branch():
     ids[5:9] = ids[4]   # duplicates
     grads = rng.standard_normal((b, d)).astype(np.float32) * 0.1
     st = rng.random(n).astype(np.float32) * 0.01
+    aug = np.concatenate([table.reshape(n // p, d * p),
+                          st.reshape(n // p, p)], axis=1)
     with mock.patch.object(O, "DENSE_GRAD_LIMIT_BYTES", 0):
-        new_st_p, new_tab_p = row_update_packed(
-            "rwsadagrad", jnp.asarray(st.reshape(n // p, p)),
-            jnp.asarray(table.reshape(n // p, d * p)),
+        _, new_aug = row_update_packed(
+            "rwsadagrad", jnp.zeros((0,), jnp.float32), jnp.asarray(aug),
             jnp.asarray(ids), jnp.asarray(grads), p, 0.1)
     new_st_l, new_tab_l = row_update("rwsadagrad", jnp.asarray(st),
                                      jnp.asarray(table), jnp.asarray(ids),
                                      jnp.asarray(grads), 0.1)
-    np.testing.assert_allclose(np.asarray(new_tab_p).reshape(n, d),
+    out = np.asarray(new_aug)
+    np.testing.assert_allclose(out[:, :d * p].reshape(n, d),
                                np.asarray(new_tab_l), rtol=2e-6, atol=1e-7)
-    np.testing.assert_allclose(np.asarray(new_st_p).reshape(n),
+    np.testing.assert_allclose(out[:, d * p:].reshape(n),
                                np.asarray(new_st_l), rtol=2e-6, atol=1e-8)

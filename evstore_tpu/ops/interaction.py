@@ -94,29 +94,34 @@ def dot_interaction(x: jnp.ndarray, ly: jnp.ndarray,
     gly = jnp.einsum("btd,bsd->bts", ly, ly,
                      preferred_element_type=jnp.float32,
                      precision=hp)                               # [B, T, T]
+    # f32 inputs need HIGHEST in the selection too: the default MXU
+    # precision truncates the f32 gram to bf16 *before* the 0/1 selection,
+    # silently rounding the output (caught by the compiled Pallas parity
+    # test).  HIGHEST's bf16 operand split is exact for f32, and each
+    # output column sums exactly one gram element, so the selection stays
+    # value-identical to the gather.  bf16 compute keeps the fast default.
+    sel_prec = (jax.lax.Precision.HIGHEST
+                if x.dtype == jnp.float32 else None)
+    S = _split_select(F, self_interaction)                   # [1+T+T*T, P]
+    Sx = jnp.asarray(S[1:1 + T], x.dtype)                    # [T, P]
+    Sg = jnp.asarray(S[1 + T:].reshape(T, T, len(S[0])), x.dtype)
+    # selection as 3D einsums (no explicit [B, T*T] reshape: its backward
+    # materialized a 1.6 ms relayout copy of the gly grad per step at
+    # B=65536 — round-4 trace); each flat column receives exactly one
+    # nonzero source across the summed matmuls, so this stays exact
+    flat = (jnp.einsum("bt,tp->bp", xly.astype(x.dtype), Sx,
+                       preferred_element_type=jnp.float32,
+                       precision=sel_prec)
+            + jnp.einsum("bts,tsp->bp", gly.astype(x.dtype), Sg,
+                         preferred_element_type=jnp.float32,
+                         precision=sel_prec))
     if self_interaction:
         xx = jnp.einsum("bd,bd->b", x, x,
                         preferred_element_type=jnp.float32,
-                        precision=hp)[:, None]                   # [B, 1]
-    else:
-        xx = jnp.zeros((B, 1), jnp.float32)     # column never selected
-    parts = jnp.concatenate(
-        [xx.astype(x.dtype), xly.astype(x.dtype),
-         gly.reshape(B, T * T).astype(x.dtype)], axis=1)  # [B, 1+T+T*T]
-    S = jnp.asarray(_split_select(F, self_interaction), x.dtype)
-    # f32 inputs need HIGHEST here too: the default MXU precision truncates
-    # the f32 gram to bf16 *before* the 0/1 selection, silently rounding the
-    # output (caught by the compiled Pallas parity test).  HIGHEST's 3-term
-    # bf16 operand split is exact for f32, and each output column sums
-    # exactly one gram element, so the selection stays value-identical to
-    # the gather.  bf16 compute (the flagship path) keeps the fast default.
-    # gate on f32 explicitly: the bf16-split is exact for f32 only (f64
-    # would need more terms; x64 is disabled here, so this is future-proofing)
-    sel_prec = (jax.lax.Precision.HIGHEST
-                if x.dtype == jnp.float32 else None)
-    flat = jnp.dot(parts, S, preferred_element_type=jnp.float32,
-                   precision=sel_prec).astype(x.dtype)           # [B, P]
-    return jnp.concatenate([x, flat], axis=1)
+                        precision=hp)                            # [B]
+        Sxx = jnp.asarray(S[0], jnp.float32)                     # [P]
+        flat = flat + xx[:, None] * Sxx[None, :]
+    return jnp.concatenate([x, flat.astype(x.dtype)], axis=1)
 
 
 def cat_interaction(x: jnp.ndarray, ly: jnp.ndarray,

@@ -84,10 +84,15 @@ def dot_interaction(x: jnp.ndarray, ly: jnp.ndarray,
     B, D = x.shape
     T = ly.shape[1]
     F = T + 1
-    # precision=HIGHEST: the interaction is quality-critical and tiny next
-    # to the MLPs (F*F*D MACs/sample), so don't let the MXU demote the f32
-    # operands to bf16 (the default); matches the Pallas fused kernel.
-    hp = jax.lax.Precision.HIGHEST
+    # precision=HIGHEST for f32 inputs: the interaction is quality-critical
+    # and tiny next to the MLPs (F*F*D MACs/sample), so don't let the MXU
+    # demote f32 operands to bf16 (the default); matches the Pallas fused
+    # kernel.  For bf16 inputs HIGHEST is semantically a no-op (operands
+    # are already bf16, accumulation is f32 via preferred_element_type)
+    # but steers XLA into a slower convert-heavy convolution lowering —
+    # keep the default there.
+    hp = (jax.lax.Precision.HIGHEST
+          if x.dtype == jnp.float32 else None)
     xly = jnp.einsum("bd,btd->bt", x, ly,
                      preferred_element_type=jnp.float32,
                      precision=hp)                               # [B, T]

@@ -51,7 +51,11 @@ class EmbeddingServer:
     a bare StorageManager (via a small adapter)."""
 
     def __init__(self, engine, dim: int, host: str = "127.0.0.1",
-                 port: int = 0, mode: str = "lock", max_batch_rows: int = 4096):
+                 port: int = 0, mode: str = "lock",
+                 max_batch_rows: int = 131072):
+        # max_batch_rows caps the ENGINE rows (B*T) coalesced into one
+        # dispatcher pass (it previously counted requests' sample count B,
+        # off by a factor of T from its name — round-4 advisor finding)
         if mode not in ("lock", "batched"):
             raise ValueError(f"unknown service mode {mode!r}")
         self.engine = engine
@@ -79,31 +83,46 @@ class EmbeddingServer:
         return self
 
     def _dispatch_loop(self):
-        while not self._stop.is_set():
+        try:
+            while not self._stop.is_set():
+                with self._qcv:
+                    while not self._queue and not self._stop.is_set():
+                        self._qcv.wait(timeout=0.2)
+                    if self._stop.is_set():
+                        return
+                    batch, rows = [], 0
+                    while self._queue and rows < self.max_batch_rows:
+                        item = self._queue.pop(0)
+                        batch.append(item)
+                        # engine rows actually executed are B*T, not B
+                        rows += item[0].shape[0] * item[0].shape[1]
+                self._run_batch(batch)
+        finally:
+            # drain on exit: anything still queued (or enqueued during
+            # shutdown) gets an error instead of a waiter stuck on ev.wait()
             with self._qcv:
-                while not self._queue and not self._stop.is_set():
-                    self._qcv.wait(timeout=0.2)
-                if self._stop.is_set():
-                    return
-                batch, rows = [], 0
-                while self._queue and rows < self.max_batch_rows:
-                    item = self._queue.pop(0)
-                    batch.append(item)
-                    rows += item[0].shape[0]
-            idx_cat = np.concatenate([b[0] for b in batch], axis=0)
-            try:
-                out = self.engine.request_batch(idx_cat)
-                err = None
-            except Exception as e:          # propagate to every waiter
-                out, err = None, e
-            off = 0
-            for idx, holder, ev in batch:
-                if err is None:
-                    holder.append(out[off:off + idx.shape[0]])
-                else:
-                    holder.append(err)
-                off += idx.shape[0]
+                left, self._queue = self._queue, []
+            for idx, holder, ev in left:
+                holder.append(ConnectionError("server stopped"))
                 ev.set()
+
+    def _run_batch(self, batch):
+        if not batch:
+            return
+        idx_cat = np.concatenate([b[0] for b in batch], axis=0)
+        try:
+            out = self.engine.request_batch(idx_cat)
+            err = None
+        except Exception as e:          # propagate to every waiter
+            out, err = None, e
+        off = 0
+        for idx, holder, ev in batch:
+            if err is None:
+                holder.append(out[off:off + idx.shape[0]])
+            else:
+                holder.append(err)
+            off += idx.shape[0]
+            ev.set()
 
     def _accept_loop(self):
         self._srv.settimeout(0.2)
@@ -129,9 +148,15 @@ class EmbeddingServer:
                 if self.mode == "batched":
                     holder, ev = [], threading.Event()
                     with self._qcv:
+                        if self._stop.is_set():
+                            raise ConnectionError("server stopped")
                         self._queue.append((idx, holder, ev))
                         self._qcv.notify()
-                    ev.wait()
+                    # bounded wait: if the dispatcher died/stopped between
+                    # our enqueue and its drain, don't hang forever
+                    while not ev.wait(timeout=0.2):
+                        if self._stop.is_set() and not holder:
+                            raise ConnectionError("server stopped")
                     if isinstance(holder[0], Exception):
                         raise ConnectionError(str(holder[0]))
                     rows = holder[0]

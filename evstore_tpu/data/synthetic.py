@@ -290,6 +290,15 @@ def quality_fixture(table_sizes: Sequence[int], dim: int = 36,
                            ((s + bucket - 1) // bucket, dim)).astype(np.float32)
         tables.append((np.repeat(cent, bucket, axis=0)[:s]
                        + rng.normal(0, 0.02, (s, dim)).astype(np.float32)))
+    # alt keys are uint32 end-to-end (the native C3 ABI, esv_load_altkeys);
+    # past ~42.9M-row tables s*100 would wrap into cross-bucket collisions
+    # that silently corrupt tier-quality numbers (round-4 advisor finding)
+    # — refuse rather than corrupt
+    for s in table_sizes:
+        if s * 100 >= 2 ** 32:
+            raise ValueError(
+                f"quality_fixture: table size {s} overflows the uint32 "
+                "alt-key space (rowId*100 encoding); use <= 42.9M rows")
     altkeys = [np.asarray(((np.arange(s) // bucket) * bucket) * 100 + t,
                           np.uint32)
                for t, s in enumerate(table_sizes)]

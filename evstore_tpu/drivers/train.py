@@ -111,6 +111,12 @@ def run_training(cfg: DLRMConfig, tcfg: TrainConfig,
             return DLRMParams(bstate[0], unstack_tables(
                 bstate[1], p, table_order=order).sparse)
 
+        def sync_pair(p, o):
+            # butterfly keeps the trained state in bstate (step_fn returns
+            # p unchanged); the final eval/save must reconstruct from it or
+            # it would persist the INITIAL params (round-4 advisor finding)
+            return sync_params(p), o
+
         eval_step = make_eval_step(cfg) if make_test_batches else None
     elif mesh is not None:
         from evstore_tpu.parallel.sharded import (make_sharded_eval_step,

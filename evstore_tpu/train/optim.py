@@ -320,10 +320,19 @@ def pack_tables(params, opt_state: OptState, spec: Dict[str, int]):
         packed = tab.reshape(n // f, d * f)
         st = sp_state.get(name)
         if st is not None and getattr(st, "ndim", 0) == 1:   # rwsadagrad
-            aug = jnp.concatenate(
-                [packed, st.reshape(n // f, f).astype(packed.dtype)], axis=1)
-            sparse[name] = {"kind_plain": aug}
-            sp_state[name] = jnp.zeros((0,), jnp.float32)    # placeholder
+            if packed.dtype == jnp.float32:
+                # augmented lanes: exact, since the accumulator stays f32
+                aug = jnp.concatenate(
+                    [packed, st.reshape(n // f, f)], axis=1)
+                sparse[name] = {"kind_plain": aug}
+                sp_state[name] = jnp.zeros((0,), jnp.float32)  # placeholder
+            else:
+                # bf16 (or other) tables: the augmented trick would hold the
+                # adagrad second moment in the table dtype and round away
+                # small increments (round-4 advisor finding) — keep a
+                # separate f32 [N/P, P] accumulator instead
+                sparse[name] = {"kind_plain": packed}
+                sp_state[name] = st.reshape(n // f, f)
         else:
             sparse[name] = {"kind_plain": packed}
             if st is not None and getattr(st, "ndim", 0) == 2:  # adagrad
@@ -345,6 +354,11 @@ def unpack_tables(params, opt_state: OptState, spec: Dict[str, int]):
             sparse[name] = {"kind_plain":
                             aug[:, :dp].reshape(np_ * f, dp // f)}
             sp_state[name] = aug[:, dp:].reshape(np_ * f).astype(jnp.float32)
+        elif (st is not None and getattr(st, "ndim", 0) == 2
+              and st.shape == (np_, f) and st.shape != aug.shape):
+            # separate-accumulator rwsadagrad (non-f32 tables)
+            sparse[name] = {"kind_plain": aug.reshape(np_ * f, dpa // f)}
+            sp_state[name] = st.reshape(np_ * f)
         else:
             dp = dpa
             sparse[name] = {"kind_plain": aug.reshape(np_ * f, dp // f)}
@@ -385,6 +399,12 @@ def row_update_packed(name: str, state, packed: jnp.ndarray,
                              axis=1)                       # [B, P*d]
     if name in ("sgd", "adagrad"):
         return row_update(name, state, packed, q, g_wide, lr, eps)
+
+    if getattr(state, "ndim", 0) == 2:
+        # separate f32 accumulator [N/P, P] (non-f32 tables — the augmented
+        # lanes would round the second moment to the table dtype)
+        return _row_update_packed_sepstate(state, packed, q, g_wide, pack,
+                                           lr, eps)
 
     npk, dpa = packed.shape            # augmented: dpa = P*d + P
     dp = dpa - pack
@@ -431,6 +451,49 @@ def row_update_packed(name: str, state, packed: jnp.ndarray,
     new_aug = (packed.astype(jnp.float32)
                - taken * signs).astype(packed.dtype)
     return state, new_aug
+
+def _row_update_packed_sepstate(state, packed, q, g_wide, pack, lr, eps):
+    """rwsadagrad on a packed [N/P, P*d] table with a SEPARATE f32
+    accumulator [N/P, P] (used when the table dtype is not f32, where the
+    augmented-lane layout would silently hold the second moment in the
+    table dtype).  Same math as the augmented path; two passes instead of
+    the single fused one — this is the correctness fallback, not the hot
+    configuration (f32 tables + augmented lanes)."""
+    npk, dp = packed.shape
+    b = q.shape[0]
+    d = dp // pack
+    if npk > b * 256:
+        uniq, summed, valid = dedup_rows(q, g_wide, b)
+        gm = summed * valid[:, None]
+        A = _block_mean_matrix(pack, d)
+        mom_inc = jnp.dot(gm * gm, A, precision=jax.lax.Precision.HIGHEST)
+        acc_old = state.at[uniq].get(mode="fill", fill_value=0.0)   # [U, P]
+        std = jnp.sqrt(acc_old + mom_inc) + eps
+        scale = jnp.repeat(std, d, axis=1)
+        new_state = scatter_rows_add(state, uniq, mom_inc)
+        new_tab = scatter_rows_add(packed, uniq, -lr * gm / scale)
+        return new_state, new_tab
+    slot = jnp.full((npk,), b, jnp.int32).at[q].set(
+        jnp.arange(b, dtype=jnp.int32), mode="drop")
+    rep = slot.at[q].get(mode="fill", fill_value=b)
+    Gc = jax.ops.segment_sum(g_wide, rep, num_segments=b + 1)[:b]  # [b, P*d]
+    mom_inc = jnp.stack(
+        [jnp.mean(Gc[:, k * d:(k + 1) * d] ** 2, axis=1)
+         for k in range(pack)], axis=1)                     # [b, P]
+    # per-sample acc rows; only representative samples' rows are consumed
+    # by the final slot-take, so duplicate q entries are harmless
+    acc_c = jnp.take(state, jnp.minimum(q, npk - 1), axis=0)
+    std_c = jnp.sqrt(acc_c + mom_inc) + eps                 # [b, P]
+    upd_c = jnp.concatenate(
+        [lr * Gc[:, k * d:(k + 1) * d] / std_c[:, k:k + 1]
+         for k in range(pack)], axis=1)                     # [b, P*d]
+    upd_pad = jnp.concatenate([upd_c, jnp.zeros((1, dp), jnp.float32)])
+    taken = jnp.take(upd_pad, jnp.minimum(slot, b), axis=0)
+    new_tab = (packed.astype(jnp.float32) - taken).astype(packed.dtype)
+    inc_pad = jnp.concatenate([mom_inc, jnp.zeros((1, pack), jnp.float32)])
+    new_state = state + jnp.take(inc_pad, jnp.minimum(slot, b), axis=0)
+    return new_state, new_tab
+
 
 import functools as _functools
 

@@ -237,3 +237,28 @@ def test_butterfly_multihot_matches_single_device(opt, dedup):
     np.testing.assert_allclose(
         np.asarray(d1["bot"]["layer_0"]["w"]),
         np.asarray(p1.dense["bot"]["layer_0"]["w"]), rtol=1e-4, atol=1e-6)
+
+
+def test_run_training_butterfly_returns_trained_params():
+    """Regression (round-4 advisor, high): the final sync in run_training
+    must reconstruct the trained tables from bstate — a bug left sync_pair
+    as identity in butterfly mode, so TrainResult.params / the final save
+    carried the INITIAL untrained parameters."""
+    from evstore_tpu.drivers.train import run_training
+    cfg = _cfg()
+    tcfg = TrainConfig(batch_size=16, learning_rate=0.5, optimizer="sgd",
+                       nepochs=1, print_freq=100, test_freq=0)
+
+    def batches():
+        for s in range(4):
+            yield _batch(cfg, 16, seed=s)
+
+    res = run_training(cfg, tcfg, batches, mesh=_mesh(),
+                       alltoall_impl="butterfly", log_fn=lambda *a: None)
+    init = init_dlrm(jax.random.PRNGKey(0), cfg)
+    moved = max(
+        float(np.abs(np.asarray(res.params.sparse[f"table_{t}"]["kind_plain"])
+                     - np.asarray(init.sparse[f"table_{t}"]["kind_plain"])
+                     ).max())
+        for t in range(cfg.num_tables))
+    assert moved > 1e-4, "returned params are the untrained init"

@@ -147,3 +147,51 @@ def test_row_update_packed_rep_branch():
                                np.asarray(new_tab_l), rtol=2e-6, atol=1e-7)
     np.testing.assert_allclose(out[:, d * p:].reshape(n),
                                np.asarray(new_st_l), rtol=2e-6, atol=1e-8)
+
+
+def test_packed_rwsadagrad_bf16_keeps_f32_state():
+    """Regression (round-4 advisor, medium): with bf16 tables the augmented
+    lanes would hold the adagrad second moment in bf16 and round away small
+    increments.  pack_tables must keep a separate f32 accumulator, and the
+    packed trajectory must match the logical bf16 path."""
+    from evstore_tpu.train.optim import OptState
+    rng = np.random.default_rng(5)
+    n, d, p, b = 48, 8, 2, 64
+    table = rng.standard_normal((n, d)).astype(np.float32)
+    st = rng.random(n).astype(np.float32) * 0.01
+    ids = rng.integers(0, n, b).astype(np.int32)
+    grads = rng.standard_normal((b, d)).astype(np.float32) * 0.1
+
+    from evstore_tpu.models.dlrm import DLRMParams
+    params = DLRMParams(dense={}, sparse={
+        "table_0": {"kind_plain": jnp.asarray(table, jnp.bfloat16)}})
+    ost = OptState(jnp.zeros((), jnp.int32), {},
+                   {"table_0": jnp.asarray(st)})
+    spec = {"table_0": p}
+    pp, po = pack_tables(params, ost, spec)
+    packed = pp.sparse["table_0"]["kind_plain"]
+    assert packed.shape == (n // p, d * p)          # NOT augmented
+    assert po.sparse["table_0"].dtype == jnp.float32
+    assert po.sparse["table_0"].shape == (n // p, p)
+
+    new_st_p, new_tab_p = row_update_packed(
+        "rwsadagrad", po.sparse["table_0"], packed,
+        jnp.asarray(ids), jnp.asarray(grads), p, 0.1)
+    assert new_st_p.dtype == jnp.float32
+    # logical bf16 reference
+    new_st_l, new_tab_l = row_update(
+        "rwsadagrad", jnp.asarray(st),
+        jnp.asarray(table, jnp.bfloat16), jnp.asarray(ids),
+        jnp.asarray(grads), 0.1)
+    np.testing.assert_allclose(
+        np.asarray(new_tab_p, np.float32).reshape(n, d),
+        np.asarray(new_tab_l, np.float32), rtol=2e-2, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(new_st_p).reshape(n),
+                               np.asarray(new_st_l), rtol=2e-6, atol=1e-8)
+    # round-trip back to logical
+    up, uo = unpack_tables(
+        pp._replace(sparse={"table_0": {"kind_plain": new_tab_p}}),
+        po._replace(sparse={"table_0": new_st_p}), spec)
+    assert up.sparse["table_0"]["kind_plain"].shape == (n, d)
+    assert uo.sparse["table_0"].shape == (n,)
+    assert uo.sparse["table_0"].dtype == jnp.float32

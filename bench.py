@@ -246,7 +246,9 @@ def bench_train(cfg, B=65536, n_lo=4, n_hi=12, n_windows=5):
     Il = [jnp.asarray(i) for _, i, _ in raw]
     Yl = [jnp.asarray(y) for _, _, y in raw]
 
-    @functools.partial(jax.jit, static_argnums=(2,), donate_argnums=(0, 1))
+    from evstore_tpu.train.train_loop import step_jit
+
+    @functools.partial(step_jit, static_argnums=(2,), donate_argnums=(0, 1))
     def run_n(params, opt_state, n_steps):
         loss = None
         for i in range(n_steps):
@@ -311,8 +313,9 @@ def bench_train_pipelined(cfg, B=65536, n_lo=8, n_hi=24):
     from evstore_tpu.train.optim import make_pack_spec, pack_tables
     pack_spec = make_pack_spec(init_dlrm(jax.random.PRNGKey(0), cfg),
                                tcfg.optimizer)
-    step = jax.jit(make_train_step(cfg, tcfg, pack=pack_spec),
-                   donate_argnums=(0, 1))
+    from evstore_tpu.train.train_loop import step_jit
+    step = step_jit(make_train_step(cfg, tcfg, pack=pack_spec),
+                    donate_argnums=(0, 1))
 
     def run_n(n_steps):
         params = init_dlrm(jax.random.PRNGKey(0), cfg)

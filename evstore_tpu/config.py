@@ -47,12 +47,17 @@ class DLRMConfig:
     # numerics
     param_dtype: str = "float32"
     compute_dtype: str = "float32"           # bfloat16 for MXU-friendly training
-    # fused Pallas dot-interaction kernel (ops/pallas_interaction.py): wins
-    # in isolation (~13% on v5e) but LOSES end-to-end — pallas_call is a
-    # fusion barrier and XLA otherwise fuses the interaction into the MLP
-    # matmuls (measured 38x step regression).  Keep False unless profiling
-    # a standalone interaction.
-    use_pallas_interaction: bool = False
+    # sample-blocked fused Pallas interaction (ops/pallas_interaction.py
+    # dot_interaction_blocked, round 5): groups G=4 samples' feature
+    # matrices into one MXU operand (the per-sample batched gram padded
+    # 128x128 tiles to ~1% useful work and ran at 5.5 TF/s; blocked form
+    # 158 TF/s).  In-step device time 52.3 -> 45.5 ms at B=65536 on v5e
+    # with the scoped-vmem compile option (train_loop.step_jit) that keeps
+    # XLA promoting the update-path take operands to VMEM.  Enabled by
+    # default; falls back to the XLA split-gram form for batches not
+    # divisible by 128 or off-TPU.  (The older per-sample-batched kernel
+    # dot_interaction_pallas remains for A/B: it loses end-to-end.)
+    use_pallas_interaction: bool = True
     # Pallas DMA row-gather for plain-table lookups in INFERENCE paths
     # (models/embedding.py).  Only engages when rows are 128-lane aligned
     # (D % 128 == 0, e.g. the MLPerf dim-128 recipe) on a TPU backend;

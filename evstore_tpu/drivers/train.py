@@ -136,8 +136,9 @@ def run_training(cfg: DLRMConfig, tcfg: TrainConfig,
                                              unpack_tables)
         pack_spec = (make_pack_spec(params, tcfg.optimizer)
                      if getattr(tcfg, "pack_gather", True) else {})
-        step_fn = jax.jit(make_train_step(cfg, tcfg, pack=pack_spec),
-                          donate_argnums=(0, 1))
+        from evstore_tpu.train.train_loop import step_jit
+        step_fn = step_jit(make_train_step(cfg, tcfg, pack=pack_spec),
+                           donate_argnums=(0, 1))
         if pack_spec:
             params, opt_state = pack_tables(params, opt_state, pack_spec)
 

@@ -90,9 +90,14 @@ def interact(x: jnp.ndarray, ly: jnp.ndarray, cfg: DLRMConfig) -> jnp.ndarray:
         B = x.shape[0]
         if (cfg.use_pallas_interaction and jax.default_backend() == "tpu"
                 and B % 128 == 0):
-            from evstore_tpu.ops.pallas_interaction import dot_interaction_pallas
-            return dot_interaction_pallas(x, ly, cfg.interaction_itself,
-                                          tile_b=min(256, B))
+            # sample-blocked fused kernel: G samples' feature matrices ride
+            # one MXU operand (~2.2x isolated fwd+bwd on v5e at B=65536,
+            # scripts/ab_gram_r5.py); falls back to the XLA split-gram form
+            # for odd batch shapes / non-TPU backends
+            from evstore_tpu.ops.pallas_interaction import (
+                dot_interaction_blocked)
+            return dot_interaction_blocked(x, ly, cfg.interaction_itself,
+                                           tile_b=128, group=4)
         return dot_interaction(x, ly, cfg.interaction_itself)
     return cat_interaction(x, ly)
 

@@ -133,3 +133,50 @@ def test_use_pallas_gather_flag_equivalence():
         np.testing.assert_allclose(
             np.asarray(p2.sparse[name]["kind_plain"]),
             np.asarray(p1.sparse[name]["kind_plain"]), rtol=1e-6)
+
+
+@pytest.mark.parametrize("self_interaction", [False, True])
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_blocked_interaction_matches_xla(rng, self_interaction, dtype):
+    """Round-5 sample-blocked fused kernel: forward must match the XLA
+    split-gram path (same rounding chain) for both dtypes."""
+    from evstore_tpu.ops.pallas_interaction import dot_interaction_blocked
+    dt = jnp.dtype(dtype)
+    B, T, D = 32, 5, 12
+    x = jnp.asarray(rng.normal(size=(B, D)), dt)
+    ly = jnp.asarray(rng.normal(size=(B, T, D)), dt)
+    ref = dot_interaction(x, ly, self_interaction)
+    got = dot_interaction_blocked(x, ly, self_interaction, 16, 4, True)
+    assert got.dtype == ref.dtype and got.shape == ref.shape
+    tol = 0 if dt == jnp.bfloat16 else 4e-6
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=tol)
+
+
+def test_blocked_interaction_gradients_match_xla(rng):
+    from evstore_tpu.ops.pallas_interaction import dot_interaction_blocked
+    B, T, D = 16, 4, 8
+    x = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+    ly = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+
+    def loss_ref(x_, ly_):
+        return jnp.sum(jnp.sin(dot_interaction(x_, ly_)))
+
+    def loss_blk(x_, ly_):
+        return jnp.sum(jnp.sin(
+            dot_interaction_blocked(x_, ly_, False, 8, 4, True)))
+
+    gr = jax.grad(loss_ref, argnums=(0, 1))(x, ly)
+    gb = jax.grad(loss_blk, argnums=(0, 1))(x, ly)
+    np.testing.assert_allclose(np.asarray(gb[0]), np.asarray(gr[0]),
+                               rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gb[1]), np.asarray(gr[1]),
+                               rtol=1e-4, atol=2e-5)
+
+
+def test_blocked_interaction_bad_shapes():
+    from evstore_tpu.ops.pallas_interaction import dot_interaction_blocked
+    x = jnp.zeros((20, 8), jnp.float32)
+    ly = jnp.zeros((20, 3, 8), jnp.float32)
+    with pytest.raises(ValueError):
+        dot_interaction_blocked(x, ly, False, 16, 4, True)

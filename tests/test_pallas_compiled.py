@@ -99,3 +99,45 @@ def test_pallas_update_compiled_matches_xla():
     r = _run_on_tpu(code)
     assert r.returncode == 0, r.stderr[-3000:]
     assert "PALLAS-UPDATE-COMPILED-OK" in r.stdout
+
+
+def test_blocked_interaction_compiled_matches_xla():
+    """Round-5 sample-blocked fused interaction (the production kernel —
+    enabled by default in DLRMConfig), COMPILED on the real chip at the
+    flagship shape (T=26, D=36), forward AND gradients."""
+    probe = _run_on_tpu("import jax; print(jax.devices()[0].platform)",
+                        timeout=120)
+    if probe.returncode != 0 or probe.stdout.strip().splitlines()[-1] not in (
+            "tpu", "axon"):
+        pytest.skip(f"no TPU backend reachable: {probe.stdout[-200:]!r}")
+    code = textwrap.dedent("""
+        import jax, numpy as np, jax.numpy as jnp
+        jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+        from evstore_tpu.ops.pallas_interaction import dot_interaction_blocked
+        from evstore_tpu.ops.interaction import dot_interaction
+        rng = np.random.default_rng(0)
+        B, T, D = 1024, 26, 36
+        for dt, ftol, gtol in ((jnp.float32, 2e-5, 1e-3),
+                               (jnp.bfloat16, 0.0625, 0.25)):
+            x = jnp.asarray(rng.normal(size=(B, D)), dt)
+            ly = jnp.asarray(rng.normal(size=(B, T, D)), dt)
+            ref = dot_interaction(x, ly)
+            got = dot_interaction_blocked(x, ly, False, 256, 4)  # COMPILED
+            np.testing.assert_allclose(np.asarray(got, np.float32),
+                                       np.asarray(ref, np.float32),
+                                       atol=ftol)
+            lr = lambda a, b: jnp.sum(jnp.sin(
+                dot_interaction(a, b).astype(jnp.float32)))
+            lb = lambda a, b: jnp.sum(jnp.sin(dot_interaction_blocked(
+                a, b, False, 256, 4).astype(jnp.float32)))
+            gr = jax.jit(jax.grad(lr, argnums=(0, 1)))(x, ly)
+            gb = jax.jit(jax.grad(lb, argnums=(0, 1)))(x, ly)
+            for r_, b_ in zip(gr, gb):
+                np.testing.assert_allclose(np.asarray(b_, np.float32),
+                                           np.asarray(r_, np.float32),
+                                           atol=gtol)
+        print("BLOCKED-INTERACTION-COMPILED-OK")
+    """)
+    r = _run_on_tpu(code)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "BLOCKED-INTERACTION-COMPILED-OK" in r.stdout

@@ -93,7 +93,11 @@ def take_rows(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
         rows = jnp.dot(oh, table, preferred_element_type=jnp.float32,
                        precision=prec).astype(table.dtype)
         return rows.reshape(*ids.shape, table.shape[1])
-    return jnp.take(table, ids, axis=0)
+    # mode="clip": the default "fill" wraps every gather in an
+    # in-bounds compare + select(NaN) pass over the FULL output (visible
+    # as pred[N] operands in the fused update passes); lookup ids are
+    # valid by contract (reference semantics: torch would raise)
+    return jnp.take(table, ids, axis=0, mode="clip")
 
 
 def pick_pack_factor(n: int, d: int, itemsize: int = 4) -> int:
@@ -113,7 +117,7 @@ def take_rows_packed_layout(packed: jnp.ndarray, ids: jnp.ndarray, p: int,
     packed row id//p at the fast wide width, then select sub-row id%p.
     EXACT: static lane slices + lax.select_n move bytes, no arithmetic."""
     flat = ids.reshape(-1)
-    rows = jnp.take(packed, flat // p, axis=0)                # [B, p*d]
+    rows = jnp.take(packed, flat // p, axis=0, mode="clip")   # [B, p*d]
     if p == 1:
         return rows.reshape(*ids.shape, d)
     sub = jnp.broadcast_to((flat % p).astype(jnp.int32)[:, None],

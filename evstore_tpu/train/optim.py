@@ -159,7 +159,9 @@ def scatter_rows_add(table: jnp.ndarray, rows_idx: jnp.ndarray,
         upd_pad = jnp.concatenate(
             [upd2.astype(jnp.float32),
              jnp.zeros((1, upd2.shape[1]), jnp.float32)])
-        out = (tab2 + jnp.take(upd_pad, pos, axis=0)).astype(table.dtype)
+        # pos is clamped by construction; clip skips the fill-select pass
+        out = (tab2 + jnp.take(upd_pad, pos, axis=0, mode="clip")
+               ).astype(table.dtype)
     else:
         out = tab2.at[rows_idx].add(upd2.astype(table.dtype), mode="drop",
                                     unique_indices=False)
@@ -249,7 +251,7 @@ def row_update(name: str, state, table: jnp.ndarray, ids: jnp.ndarray,
         rep = slot.at[ids].get(mode="fill", fill_value=b)
         Gc = jax.ops.segment_sum(g, rep, num_segments=b + 1)[:b]
         g_pad = jnp.concatenate([Gc, jnp.zeros((1, d), jnp.float32)])
-        G = jnp.take(g_pad, jnp.minimum(slot, b), axis=0)
+        G = jnp.take(g_pad, jnp.minimum(slot, b), axis=0, mode="clip")
     else:
         uniq, summed, valid = dedup_rows(ids, g, b)
         st, tab = make_optimizer(name, eps)[2](state, table, uniq, summed,
@@ -392,19 +394,26 @@ def row_update_packed(name: str, state, packed: jnp.ndarray,
     name = name.lower()
     b = ids.shape[0]
     q = jnp.where(ids == PAD_ROW, PAD_ROW, ids // pack)
-    oh = ((ids % pack)[:, None] ==
-          jnp.arange(pack, dtype=jnp.int32)[None, :]).astype(jnp.float32)
     g = grads.astype(jnp.float32)
-    g_wide = jnp.concatenate([g * oh[:, k:k + 1] for k in range(pack)],
-                             axis=1)                       # [B, P*d]
+
+    def make_g_wide():
+        # sub-slot widened grads [B, P*d] (each sample's grad lands in its
+        # id%P block; exact — a 0/1 one-hot product).  Only the non-hot
+        # fallback paths materialize this; the hot rep-trick path coalesces
+        # on the interleaved [(b+1)*P, d] domain instead (below)
+        oh = ((ids % pack)[:, None] ==
+              jnp.arange(pack, dtype=jnp.int32)[None, :]).astype(jnp.float32)
+        return jnp.concatenate([g * oh[:, k:k + 1] for k in range(pack)],
+                               axis=1)
+
     if name in ("sgd", "adagrad"):
-        return row_update(name, state, packed, q, g_wide, lr, eps)
+        return row_update(name, state, packed, q, make_g_wide(), lr, eps)
 
     if getattr(state, "ndim", 0) == 2:
         # separate f32 accumulator [N/P, P] (non-f32 tables — the augmented
         # lanes would round the second moment to the table dtype)
-        return _row_update_packed_sepstate(state, packed, q, g_wide, pack,
-                                           lr, eps)
+        return _row_update_packed_sepstate(state, packed, q, make_g_wide(),
+                                           pack, lr, eps)
 
     npk, dpa = packed.shape            # augmented: dpa = P*d + P
     dp = dpa - pack
@@ -415,7 +424,7 @@ def row_update_packed(name: str, state, packed: jnp.ndarray,
     # path's jnp.mean(G*G, axis=1) produces for touched rows)
     if npk > b * 256:
         # huge tables: dedup + augmented row scatter
-        uniq, summed, valid = dedup_rows(q, g_wide, b)
+        uniq, summed, valid = dedup_rows(q, make_g_wide(), b)
         gm = summed * valid[:, None]
         A = _block_mean_matrix(pack, d)
         mom_inc = jnp.dot(gm * gm, A, precision=jax.lax.Precision.HIGHEST)
@@ -430,26 +439,33 @@ def row_update_packed(name: str, state, packed: jnp.ndarray,
 
     # rep-trick: coalesce by PACKED row into [b, P*d] (tiny), stats on
     # [b, P], one wide row-take, ONE fused pass over the augmented array.
+    # (An interleaved [(b+1)*P, d] segment-sum was tried in round 5 to
+    # avoid materializing g_wide: 4.2 vs 2.5 ms — the narrow 36-lane
+    # target pads 3.5x in VMEM and loses the scatter promotion.)
     slot = jnp.full((npk,), b, jnp.int32).at[q].set(
         jnp.arange(b, dtype=jnp.int32), mode="drop")
     rep = slot.at[q].get(mode="fill", fill_value=b)
-    Gc = jax.ops.segment_sum(g_wide, rep, num_segments=b + 1)[:b]  # [b, P*d]
+    Gc = jax.ops.segment_sum(make_g_wide(), rep,
+                             num_segments=b + 1)[:b]        # [b, P*d]
     mom_inc = jnp.stack(
         [jnp.mean(Gc[:, k * d:(k + 1) * d] ** 2, axis=1)
          for k in range(pack)], axis=1)                     # [b, P]
     # acc gathered as B rows from the aug carry — bounded, unlike the
     # forbidden [N]-scale carry gathers
-    acc_c = jnp.take(packed, jnp.minimum(q, npk - 1), axis=0)[:, dp:]
+    acc_c = jnp.take(packed, jnp.minimum(q, npk - 1), axis=0,
+                     mode="clip")[:, dp:]
     std_c = jnp.sqrt(acc_c + mom_inc) + eps                 # [b, P]
     upd_c = jnp.concatenate(
         [lr * Gc[:, k * d:(k + 1) * d] / std_c[:, k:k + 1]
          for k in range(pack)], axis=1)                     # [b, P*d] tiny
+    # signs folded into comb_pad on the tiny [b+1, .] domain so the wide
+    # row-take feeds the subtract with no interior ops between them
     comb_pad = jnp.concatenate([
-        jnp.concatenate([upd_c, mom_inc], axis=1),
+        jnp.concatenate([upd_c, -mom_inc], axis=1),
         jnp.zeros((1, dpa), jnp.float32)])                  # [b+1, P*d+P]
-    taken = jnp.take(comb_pad, jnp.minimum(slot, b), axis=0)  # [npk, dpa]
-    new_aug = (packed.astype(jnp.float32)
-               - taken * signs).astype(packed.dtype)
+    taken = jnp.take(comb_pad, jnp.minimum(slot, b), axis=0,
+                     mode="clip")                             # [npk, dpa]
+    new_aug = (packed.astype(jnp.float32) - taken).astype(packed.dtype)
     return state, new_aug
 
 def _row_update_packed_sepstate(state, packed, q, g_wide, pack, lr, eps):
@@ -482,16 +498,17 @@ def _row_update_packed_sepstate(state, packed, q, g_wide, pack, lr, eps):
          for k in range(pack)], axis=1)                     # [b, P]
     # per-sample acc rows; only representative samples' rows are consumed
     # by the final slot-take, so duplicate q entries are harmless
-    acc_c = jnp.take(state, jnp.minimum(q, npk - 1), axis=0)
+    acc_c = jnp.take(state, jnp.minimum(q, npk - 1), axis=0, mode="clip")
     std_c = jnp.sqrt(acc_c + mom_inc) + eps                 # [b, P]
     upd_c = jnp.concatenate(
         [lr * Gc[:, k * d:(k + 1) * d] / std_c[:, k:k + 1]
          for k in range(pack)], axis=1)                     # [b, P*d]
     upd_pad = jnp.concatenate([upd_c, jnp.zeros((1, dp), jnp.float32)])
-    taken = jnp.take(upd_pad, jnp.minimum(slot, b), axis=0)
+    taken = jnp.take(upd_pad, jnp.minimum(slot, b), axis=0, mode="clip")
     new_tab = (packed.astype(jnp.float32) - taken).astype(packed.dtype)
     inc_pad = jnp.concatenate([mom_inc, jnp.zeros((1, pack), jnp.float32)])
-    new_state = state + jnp.take(inc_pad, jnp.minimum(slot, b), axis=0)
+    new_state = state + jnp.take(inc_pad, jnp.minimum(slot, b), axis=0,
+                                 mode="clip")
     return new_state, new_tab
 
 

@@ -139,8 +139,15 @@ def make_train_step(cfg: DLRMConfig, tcfg: TrainConfig,
             emb = jnp.stack(rows, axis=1)
             logits = dlrm_forward(DLRMParams(dense_params, params.sparse),
                                   dense_x, idx, cfg, emb_rows=emb)
-            return dlrm_loss(logits, labels, tcfg.loss_function, tcfg.loss_weights)
+            return dlrm_loss(logits, labels, tcfg.loss_function,
+                             tcfg.loss_weights)
 
+        # (round 5: an emb-level autodiff fast path — one [B, T, D]
+        # cotangent instead of the per-table dict — and a bf16 pre-cast of
+        # the gathered rows were both A/B'd at 45.7/48.0 vs 45.6 ms and
+        # rejected: the [B,1,36] cotangent slices XLA materializes are the
+        # same either way, and the pre-cast pushed the f32 upcast into
+        # slower slice_convert fusions.)
         loss, (g_dense, g_fact, g_rows, g_w) = jax.value_and_grad(
             loss_fn, argnums=(0, 1, 2, 3))(params.dense, fact, plain_rows,
                                            w_rows)

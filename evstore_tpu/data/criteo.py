@@ -562,6 +562,32 @@ class CriteoBinDataset:
                 xc = xc % self.max_ind_range
             yield dense, xc, y
 
+    def iter_raw(self) -> Iterator[np.ndarray]:
+        """Raw packed [b, RECORD_INTS] int32 record batches — the
+        host->device transfer then ships ONE buffer per step and the
+        label/log1p/mod conversion runs on device (unpack_records_device),
+        fused into the train step.  One transfer per step instead of three
+        matters on high-latency links; the bytes are identical (the record
+        is already the minimal 160 B/example int32 encoding)."""
+        for s in range(0, self.n, self.batch_size):
+            e = min(s + self.batch_size, self.n)
+            yield np.asarray(self.mm[s * RECORD_INTS:e * RECORD_INTS]
+                             ).reshape(e - s, RECORD_INTS)
+
+
+def unpack_records_device(rec, max_ind_range: int = 0):
+    """Device-side twin of CriteoBinDataset.__iter__'s conversion
+    (data_loader_terabyte.py:225-231 semantics): rec [B, RECORD_INTS] i32
+    -> (dense f32 log1p, idx i32, y f32).  Pure jnp, fuses into the step."""
+    import jax.numpy as jnp
+    y = rec[:, 0].astype(jnp.float32)
+    dense = jnp.log1p(jnp.maximum(rec[:, 1:1 + NUM_DENSE], 0)
+                      .astype(jnp.float32))
+    xc = rec[:, 1 + NUM_DENSE:]
+    if max_ind_range > 0:
+        xc = xc % max_ind_range
+    return dense, xc, y
+
 
 def make_synthetic_criteo_txt(path: str, n: int = 1000, seed: int = 0,
                               vocab: int = 50) -> str:

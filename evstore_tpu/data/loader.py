@@ -39,7 +39,12 @@ class PrefetchIterator:
                 if self._transform is not None:
                     batch = self._transform(batch)
                 if self._to_device:
-                    batch = tuple(jnp.asarray(a) for a in batch)
+                    # a bare ndarray batch (e.g. packed criteo records)
+                    # ships as ONE buffer; tuple batches ship per-element
+                    if isinstance(batch, (tuple, list)):
+                        batch = tuple(jnp.asarray(a) for a in batch)
+                    else:
+                        batch = jnp.asarray(batch)
                 self._q.put(batch)
         except BaseException as e:   # surfaced on the consumer side
             self._err = e

@@ -135,3 +135,28 @@ def test_native_parser_matches_python(tmp_path):
     a_python = _parse_tsv(txt, use_native=False)
     for x, y in zip(a_native, a_python):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_unpack_records_device_matches_host(tmp_path):
+    """Device-side record unpack (one packed h2d buffer per step) must
+    reproduce CriteoBinDataset's host conversion exactly."""
+    import numpy as np
+    from evstore_tpu.data.criteo import (CriteoBinDataset, RECORD_INTS,
+                                         unpack_records_device)
+    rng = np.random.default_rng(3)
+    rec = np.empty((64, RECORD_INTS), np.int32)
+    rec[:, 0] = rng.integers(0, 2, 64)
+    rec[:, 1:14] = rng.integers(-3, 1000, (64, 13))   # negatives clamp to 0
+    rec[:, 14:] = rng.integers(0, 1 << 20, (64, 26))
+    p = tmp_path / "r.bin"
+    rec.tofile(p)
+    for mir in (0, 1000):
+        ds = CriteoBinDataset(str(p), batch_size=64, max_ind_range=mir)
+        d_h, i_h, y_h = next(iter(ds))
+        raw = next(ds.iter_raw())
+        import jax.numpy as jnp
+        d_d, i_d, y_d = unpack_records_device(jnp.asarray(raw),
+                                              max_ind_range=mir)
+        np.testing.assert_array_equal(np.asarray(y_d), y_h)
+        np.testing.assert_allclose(np.asarray(d_d), d_h, rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(i_d), i_h)

@@ -103,7 +103,15 @@ class TrainableDeviceCache:
         # live on SSD, the OS page cache is the DRAM tier, and the device
         # cache bounds HBM (see from_files()).
         if copy_tables:
-            self.host_tables = [np.array(t, np.float32, copy=True)
+            # order="C" is LOAD-BEARING: np.array's default order='K'
+            # preserves the SOURCE strides, and np.asarray of a TPU jax
+            # array is non-C-contiguous (tiled device layout) — the
+            # engine's zero-copy borrow below would then silently copy,
+            # freezing the masters at their initial values and serving
+            # every miss stale (round-5: -0.11 held-out AUC on the real
+            # chip while CPU runs were exact)
+            self.host_tables = [np.array(t, np.float32, copy=True,
+                                         order="C")
                                 for t in tables]
         else:
             for t in tables:
@@ -119,6 +127,13 @@ class TrainableDeviceCache:
         # zero-copy borrow: misses must observe the write-backs that mutate
         # host_tables between batches
         self.engine.borrow_tables(self.host_tables)
+        for t, (mine, theirs) in enumerate(
+                zip(self.host_tables, self.engine._borrowed_refs)):
+            if mine.ctypes.data != theirs.ctypes.data:
+                raise RuntimeError(
+                    f"table {t}: engine borrow is not aliased to "
+                    "host_tables (non-contiguous input?) — write-backs "
+                    "would be invisible to miss fetches")
         self.assigner = NativeAssigner(self.engine, self.capacity,
                                        ccfg.flush_rate, ccfg.perfect_item_cap)
         # device working set

@@ -650,3 +650,116 @@ def test_cached_training_quality_loop_windowed(tmp_path):
                               log_fn=lambda *a: None)
     assert res.best_metric > 0.75
     assert len(res.history["eval"]) >= 3
+
+
+def test_long_horizon_cached_auc_matches_full_table():
+    """VERDICT r4 item 6: multi-epoch accuracy, not just throughput.  The
+    HBM-bounded cached trainer (capacity 38% of distinct keys, evictions +
+    write-back live, windowed megastep W=4) must land within 1e-3 held-out
+    AUC of full-table training after 2 epochs at fp32 rows, and within
+    1.5e-2 at int8 rows (stochastic-rounding stores; in practice int8
+    lands slightly ABOVE full-table on this fixture).  The full 3-epoch
+    curves live in scripts/long_horizon_quality.py + EXPERIMENTS §28."""
+    from evstore_tpu.models.dlrm import dlrm_forward
+    from evstore_tpu.train.metrics import binary_metrics
+    from evstore_tpu.config import make_dlrm_config
+
+    cfg = make_dlrm_config(8, (2000, 1500, 1000, 800), (16,), (16,),
+                           num_dense=4)
+    tcfg = TrainConfig(batch_size=128, learning_rate=0.1,
+                       optimizer="rwsadagrad")
+    n_train, n_eval, epochs = 100, 8, 2
+    dcfg = RandomDataConfig(num_dense=4, table_sizes=cfg.table_sizes,
+                            batch_size=128, num_batches=n_train + n_eval,
+                            seed=11)
+    batches = list(learnable_batches(dcfg))
+    train_b, eval_b = batches[:n_train], batches[n_train:]
+    params = init_dlrm(jax.random.PRNGKey(0), cfg)
+    T = cfg.num_tables
+
+    def auc_full(p):
+        s, l = [], []
+        for dx, idx, y in eval_b:
+            s.append(np.asarray(jax.nn.sigmoid(dlrm_forward(
+                p, jnp.asarray(dx), jnp.asarray(idx), cfg))))
+            l.append(y)
+        return binary_metrics(np.concatenate(s), np.concatenate(l))["auc"]
+
+    step = jax.jit(make_train_step(cfg, tcfg))
+    p, o = params, init_opt_state(params, tcfg)
+    first_epoch_auc = None
+    for ep in range(epochs):
+        for dx, idx, y in train_b:
+            p, o, _ = step(p, o, jnp.asarray(dx), jnp.asarray(idx),
+                           jnp.asarray(y))
+        if ep == 0:
+            first_epoch_auc = auc_full(p)
+    auc_ref = auc_full(p)
+    assert auc_ref > 0.75 and auc_ref > first_epoch_auc  # long-horizon gain
+
+    # fp32: two-sided 1e-3 (the VERDICT bar).  int8: one-sided — the
+    # stochastic-rounding stores act as a regularizer and land ABOVE
+    # full-table on this fixture (+0.015 measured); what the bound must
+    # exclude is DEGRADATION.
+    for prec, bound, two_sided in ((32, 1e-3, True), (8, 1.5e-2, False)):
+        ccfg = CacheConfig(policy="evlfu", total_size=2000,
+                           main_precision=prec)
+        tc = TrainableDeviceCache(
+            cfg, tcfg, ccfg,
+            [np.asarray(params.sparse[f"table_{t}"]["kind_plain"])
+             for t in range(T)])
+        dense = params.dense
+        dstate = jax.tree_util.tree_map(
+            lambda q: jnp.zeros_like(q, jnp.float32), params.dense)
+        k = 0
+        for _ in range(epochs):
+            for dense, dstate, _ in tc.train_batches_windowed(
+                    dense, dstate, iter(train_b), window=4,
+                    start_step=k + 1):
+                k += 1
+        tc.flush_to_host()
+        s, l = [], []
+        from evstore_tpu.models.dlrm import DLRMParams as _DP
+        for dx, idx, y in eval_b:
+            rows = np.stack([tc.host_tables[t][np.asarray(idx)[:, t]]
+                             for t in range(T)], axis=1)
+            s.append(np.asarray(jax.nn.sigmoid(dlrm_forward(
+                _DP(dense, {}), jnp.asarray(dx), None, cfg,
+                emb_rows=jnp.asarray(rows)))))
+            l.append(y)
+        auc_c = binary_metrics(np.concatenate(s), np.concatenate(l))["auc"]
+        st = tc.stats()
+        assert st["hit_rate"] < 0.9, "capacity must actually bind"
+        if two_sided:
+            assert abs(auc_c - auc_ref) <= bound, (prec, auc_c, auc_ref)
+        else:
+            assert auc_c - auc_ref >= -bound, (prec, auc_c, auc_ref)
+            assert auc_c > 0.75
+        tc.close()
+
+
+def test_borrow_stays_aliased_for_noncontiguous_inputs():
+    """Regression (round 5): np.asarray of a TPU jax array is
+    non-C-contiguous, and np.array(copy=True)'s default order='K' kept
+    those strides — the engine's zero-copy borrow then silently copied,
+    freezing the masters and serving every miss STALE (-0.11 held-out
+    AUC on the real chip while CPU runs were exact).  host_tables must
+    be C-ordered and the borrow verified aliased; write-backs must be
+    visible to subsequent fetches."""
+    from evstore_tpu.config import make_dlrm_config
+    cfg = make_dlrm_config(4, (50, 40), (8,), (8,), num_dense=4)
+    tcfg = TrainConfig(batch_size=8, learning_rate=0.1,
+                       optimizer="rwsadagrad")
+    ccfg = CacheConfig(policy="evlfu", total_size=16, main_precision=32)
+    rng = np.random.default_rng(0)
+    # F-ordered inputs reproduce the TPU layout trap on any platform
+    tables = [np.asfortranarray(rng.uniform(-1, 1, (s, 4)).astype(np.float32))
+              for s in (50, 40)]
+    assert not tables[0].flags["C_CONTIGUOUS"]
+    tc = TrainableDeviceCache(cfg, tcfg, ccfg, tables)
+    before = tc.assigner.fetch_rows_arrays(np.array([0]), np.array([7]))
+    tc.host_tables[0][7] = 42.0
+    after = tc.assigner.fetch_rows_arrays(np.array([0]), np.array([7]))
+    np.testing.assert_array_equal(before[0], tables[0][7])
+    np.testing.assert_array_equal(after[0], np.full(4, 42.0, np.float32))
+    tc.close()

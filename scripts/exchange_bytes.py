@@ -23,20 +23,34 @@ DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4, "s64": 8,
 
 
 def hlo_collective_bytes(hlo_text: str) -> dict:
-    """Sum output bytes of collective ops in optimized HLO, by op kind."""
+    """Sum output bytes of collective ops in optimized HLO, by op kind.
+
+    Handles TUPLE-shaped collectives — `%x = (f32[64]{0}, f32[13,64]{1,0},
+    /*index=5*/f32[187,64]{1,0}, ...) all-reduce(...)` — by summing EVERY
+    element shape on the line (the round-4 version matched only the first
+    element and failed entirely on tuples with >=6 elements, whose
+    `/*index=5*/` comments broke its `[^=]*?` bridge: butterfly-mode
+    all-to-alls were counted as zero).  Async `-start` forms count once;
+    `-done` re-lists the shape and is skipped by construction (the kind
+    must be followed directly by `(` or `-start(`).
+    """
     out = {}
-    # lines look like: %x = f32[26,128,36]{...} all-to-all(...), ...
-    pat = re.compile(r"=\s*\(?([a-z0-9]+)\[([0-9,]*)\][^=]*?\b(" +
-                     "|".join(COLLECTIVES) + r")\(")
-    for m in pat.finditer(hlo_text):
-        dtype, shape, kind = m.group(1), m.group(2), m.group(3)
-        if dtype not in DTYPE_BYTES:
+    line_pat = re.compile(r"=\s*(.*?)\s(" + "|".join(COLLECTIVES) +
+                          r")(?:-start)?\(")
+    shape_pat = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
+    for line in hlo_text.splitlines():
+        m = line_pat.search(line)
+        if not m:
             continue
-        n = 1
-        for d in shape.split(","):
-            if d:
-                n *= int(d)
-        out[kind] = out.get(kind, 0) + n * DTYPE_BYTES[dtype]
+        kind = m.group(2)
+        for dtype, shape in shape_pat.findall(m.group(1)):
+            if dtype not in DTYPE_BYTES:
+                continue
+            n = 1
+            for d in shape.split(","):
+                if d:
+                    n *= int(d)
+            out[kind] = out.get(kind, 0) + n * DTYPE_BYTES[dtype]
     out["total"] = sum(v for k, v in out.items() if k != "total")
     return out
 

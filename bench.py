@@ -1112,6 +1112,22 @@ def main():
         results["cached_training"] = ct
         log(f"  {json.dumps(ct)}")
 
+    log("bench: MLPerf-shape rehearsal (dim 128, 40M-row tables, tier)...")
+    try:
+        sys.path.insert(0, __file__.rsplit("/", 1)[0] + "/scripts")
+        from mlperf_rehearsal import run as mlperf_run
+        ml = mlperf_run("/tmp/evstore_mlperf", B=2048, steps=12,
+                        cache_rows=4_000_000, zipf=1.05, subset_batch=8192)
+        results["mlperf_shape"] = ml
+        log(f"  resident subset {ml['staged_resident_subset']['step_ms']} "
+            f"ms/step; {len(ml['residency']['tables_requiring_tier'])} "
+            f"tables need the tier; cached full shape "
+            f"{ml['cached_training_full_shape']['step_ms_median_steady']} "
+            f"ms/step (tunnel-bound, PCIe floor "
+            f"{ml['cached_training_full_shape']['attached_pcie_floor_ms']} ms)")
+    except Exception as e:
+        log(f"  mlperf rehearsal failed: {e!r}")
+
     with open(__file__.rsplit("/", 1)[0] + "/bench_results.json", "w") as f:
         json.dump(results, f, indent=1)
 

@@ -89,11 +89,15 @@ def interact(x: jnp.ndarray, ly: jnp.ndarray, cfg: DLRMConfig) -> jnp.ndarray:
     if cfg.interaction_op == "dot":
         B = x.shape[0]
         if (cfg.use_pallas_interaction and jax.default_backend() == "tpu"
-                and B % 128 == 0):
+                and B % 128 == 0 and x.shape[1] <= 64):
             # sample-blocked fused kernel: G samples' feature matrices ride
             # one MXU operand (~2.2x isolated fwd+bwd on v5e at B=65536,
             # scripts/ab_gram_r5.py); falls back to the XLA split-gram form
-            # for odd batch shapes / non-TPU backends
+            # for odd batch shapes / non-TPU backends.  Narrow dims only:
+            # the kernel exists to fix MXU tile padding on TINY per-sample
+            # operands (27x36), and at D=128 (MLPerf recipe, F=22) the
+            # unrolled Mosaic build takes ~353 s vs 29 s for the whole XLA
+            # step with nothing to win back (EXPERIMENTS §30)
             from evstore_tpu.ops.pallas_interaction import (
                 dot_interaction_blocked)
             return dot_interaction_blocked(x, ly, cfg.interaction_itself,

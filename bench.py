@@ -198,6 +198,52 @@ def model_train_bytes_per_example(cfg, batch_size: int) -> float:
     return float(emb + act + dense)
 
 
+def model_train_bytes_per_example_lowered(cfg, batch_size: int) -> float:
+    """HBM traffic/example of the CHOSEN lowering (dominant terms), as
+    opposed to model_train_bytes_per_example's ideal-sparse lower bound.
+
+    The big-table rwsadagrad update deliberately runs as full-table
+    bandwidth passes — XLA's TPU row scatter serializes (~135 ns/row,
+    EXPERIMENTS §14), so a take(comb, slotmap) write + fused subtract over
+    the whole packed array is the FASTER program despite moving ~4x the
+    table bytes per step (train/optim.py row_update_packed).  The
+    lower-bound denominator therefore understates what the program
+    actually moves by ~2x at B=65536 (the round-4 verdict's observation);
+    hbm_bw_util_achieved uses this model instead.  Per table:
+
+      packed (pick_pack_factor>1): take writes [N/P, P*D+P] f32 once, the
+        subtract reads it + the table and writes the table = 4 full passes
+      dense-grad (N*D*4 <= 64 MB): grad scatter-build + apply passes
+        = ~4 full passes of [N, D] f32
+      rep-trick (N <= 256*B): take + subtract = 4 full passes
+      sort path (huge): ~3*B rows moved, no full pass
+
+    plus the forward gather + bwd coalesce (~3*B*D*4) per table and the
+    same MLP activation/param terms as the lower bound."""
+    from evstore_tpu.models.embedding import pick_pack_factor
+    from evstore_tpu.train.optim import DENSE_GRAD_LIMIT_BYTES
+    B = max(batch_size, 1)
+    total = 0.0
+    for n in cfg.table_sizes:
+        d = cfg.embedding_dim
+        total += 3 * B * d * 4                      # gather + bwd coalesce
+        p = pick_pack_factor(n, d)
+        if p > 1:
+            total += 4 * (n // p) * (p * d + p) * 4
+        elif n * d * 4 <= DENSE_GRAD_LIMIT_BYTES or n <= 256 * B:
+            total += 4 * n * d * 4
+        else:
+            total += 3 * B * d * 4
+    widths = sum(cfg.mlp_bot) + sum(cfg.mlp_top) + cfg.mlp_top[0]
+    total += 4 * widths * 2 * B
+    p = 0
+    for dims in (cfg.mlp_bot, cfg.mlp_top):
+        for i in range(len(dims) - 1):
+            p += dims[i] * dims[i + 1] + dims[i + 1]
+    total += 3 * p * 4
+    return float(total / B)
+
+
 # --------------------------------------------------------------- train/infer
 
 def _batches(cfg, B, n, seed=0, zipf=False):
@@ -565,17 +611,22 @@ def bench_hybrid_tiers(cfg, B=1024, n_steps=30, total_size=24_000):
     # pre-generate (the zipf sampler was inside the timed loop) and run
     # the assigner pipelined one batch ahead of the device apply
     batches = [idx for _, idx, _ in random_batches(dcfg)]
-    n = 0
-    t0 = None
-    rows = None
-    for k, rows in enumerate(dc.lookup_batches_pipelined(batches)):
-        if k == n_warmup:
-            device_sync(rows)
-            t0 = time.perf_counter()
-        if k >= n_warmup:
-            n += B
-    device_sync(rows)
-    dt = time.perf_counter() - t0
+
+    def run_once():
+        n, t0, rows = 0, None, None
+        for k, rows in enumerate(dc.lookup_batches_pipelined(batches)):
+            if k == n_warmup:
+                device_sync(rows)
+                t0 = time.perf_counter()
+            if k >= n_warmup:
+                n += B
+        device_sync(rows)
+        return n / (time.perf_counter() - t0)
+
+    # >=5 reps, median + band (round-4 verdict: a single draw of this
+    # host+tunnel loop spread 53-74k ex/s across rounds; the median over
+    # reps on a warm cache is the publishable number)
+    reps = sorted(run_once() for _ in range(5))
     s = dc.stats()
     # decomposition (round 4): on THIS tunnel the loop is h2d-transfer
     # bound (miss payload + slot arrays ~0.4 MB/batch at ~25-40 MB/s);
@@ -585,13 +636,15 @@ def bench_hybrid_tiers(cfg, B=1024, n_steps=30, total_size=24_000):
     for idx in batches[:6]:
         dc.assigner.assign_batch(np.asarray(idx))
     assign_ms = (time.perf_counter() - t0) / 6 * 1e3
-    out = {"examples_per_s": n / dt, "c1_hit_rate": s["hit_rate"],
+    out = {"examples_per_s": reps[len(reps) // 2],
+           "examples_per_s_band": [reps[0], reps[-1]],
+           "c1_hit_rate": s["hit_rate"],
            "c2_hit_rate": s.get("c2", {}).get("hit_rate"),
            "c3_hits": s.get("c3", {}).get("hits"),
            "hbm_mb": s["hbm_bytes"] / 1e6,
            "assign_ms_per_batch": assign_ms,
            "assigner_ceiling_examples_per_s": B / (assign_ms / 1e3),
-           "h2d_bytes_per_batch": b0 / max(n_warmup + n_steps, 1),
+           "h2d_bytes_per_batch": b0 / max(5 * (n_warmup + n_steps), 1),
            "note": ("loop is h2d-tunnel-bound in this environment; the "
                     "assigner ceiling is what attached hardware would see")}
     dc.close()
@@ -1030,20 +1083,25 @@ def main():
     results["train_step_ms_band"] = [b * 1e3 for b in step_band]
     fl_train = model_flops_per_example(cfg, training=True)
     by_train = model_train_bytes_per_example(cfg, B)
+    by_lowered = model_train_bytes_per_example_lowered(cfg, B)
     mfu = train_eps * fl_train / peak_tflops_nominal
     bw_util = train_eps * by_train / peak_bw_nominal
+    bw_util_achieved = train_eps * by_lowered / peak_bw_nominal
     results.update({
         "train_examples_per_s": train_eps,
         "train_step_ms": step_s * 1e3,
         "model_flops_per_example": fl_train,
         "model_train_bytes_per_example": by_train,
+        "model_train_bytes_per_example_lowered": by_lowered,
         "peak_tflops": peak_tflops_nominal / 1e12,
         "mfu": mfu,
         "mfu_vs_measured_ceiling": train_eps * fl_train / (meas_tflops * 1e12),
         "hbm_bw_util": bw_util,
+        "hbm_bw_util_achieved": bw_util_achieved,
     })
     log(f"  {train_eps:,.0f} examples/s  (step {step_s*1e3:.2f} ms, "
-        f"MFU {mfu:.3f}, HBM-BW util {bw_util:.3f})")
+        f"MFU {mfu:.3f}, HBM-BW util {bw_util:.3f} lower-bound / "
+        f"{bw_util_achieved:.3f} achieved-traffic)")
 
     # the primary metric goes out FIRST so a timeout on the extended suite
     # cannot lose it

@@ -187,3 +187,65 @@ def test_visualize_cli(tmp_path, rng):
     assert (tmp_path / "out" / "table0_projection.png").exists()
     assert (tmp_path / "out" / "count_ranks.png").exists()
     assert (tmp_path / "out" / "calibration.png").exists()
+
+
+def test_hlo_collective_bytes_tuple_shapes():
+    """Round-5 regression: tuple-shaped collectives (incl. >=6-element
+    tuples whose `/*index=5*/` comments broke the old parser's bridge
+    regex) must have EVERY element counted; `-done` forms and
+    get-tuple-element lines must not double-count."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts"))
+    from exchange_bytes import hlo_collective_bytes
+
+    hlo = "\n".join([
+        # plain collective: 26*128*36*4 = 479232 B
+        '  %a2a = f32[26,128,36]{2,1,0} all-to-all(%x), dimensions={0}',
+        # 6-element tuple with /*index=5*/ comment: 6 * 64 * 4 = 1536 B
+        '  %ar = (f32[64]{0}, f32[64]{0}, f32[64]{0}, f32[64]{0}, '
+        'f32[64]{0}, /*index=5*/f32[64]{0}) all-reduce(%a, %b, %c, %d, '
+        '%e, %f), to_apply=%add',
+        # consumers of the tuple must not count
+        '  %gte = f32[64]{0} get-tuple-element(%ar), index=0',
+        # async pair: -start counts (bf16[128]=256 B), -done does not
+        '  %ags = bf16[128]{0} all-gather-start(%y), dimensions={0}',
+        '  %agd = bf16[128]{0} all-gather-done(%ags)',
+    ])
+    out = hlo_collective_bytes(hlo)
+    assert out["all-to-all"] == 26 * 128 * 36 * 4
+    assert out["all-reduce"] == 6 * 64 * 4
+    assert out["all-gather"] == 128 * 2
+    assert out["total"] == out["all-to-all"] + out["all-reduce"] + \
+        out["all-gather"]
+
+
+def test_mlperf_residency_report(tmp_path):
+    """MLPerf-shape rehearsal helpers (scripts/mlperf_rehearsal.py): the
+    residency math must show the five 40M-row tables each exceeding a
+    16 GB chip, and sparse table files must occupy their full virtual
+    size while consuming ~no disk."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts"))
+    from mlperf_rehearsal import gen_sparse_tables, residency_report
+    from evstore_tpu.config import mlperf_dlrm_config
+
+    sizes = list(mlperf_dlrm_config().table_sizes)
+    r = residency_report(sizes, 128, 16.0)
+    tiered = r["tables_requiring_tier"]
+    assert len(tiered) == 5
+    assert all(d["rows"] == 40_000_000 for d in tiered)
+    assert all(d["gb_fp32"] > 16.0 for d in tiered)   # each alone > chip
+    assert r["chips_for_full_residency_fp32"] >= 8
+    assert r["resident_tables"] == len(sizes) - 5
+
+    small = [100, 50]
+    gb = gen_sparse_tables(str(tmp_path), small, 4)
+    assert gb == (150 * 4 * 4) / 1e9
+    p = tmp_path / "ev-table-1.bin"
+    assert p.stat().st_size == 100 * 4 * 4
+    st = os.stat(p)
+    assert st.st_blocks * 512 < 100 * 4 * 4  # sparse: blocks < virtual

@@ -417,6 +417,10 @@ def bench_train_pipelined(cfg, B=65536, n_lo=8, n_hi=24):
         params = init_dlrm(jax.random.PRNGKey(0), cfg)
         opt_state = init_opt_state(params, tcfg)
         params, opt_state = pack_tables(params, opt_state, pack_spec)
+        # (a round-5 A/B replaced this with one contiguous [K*B, 40]
+        # slab read per chunk to skip the np.stack memcpy: 367k vs 365k
+        # ex/s — the prefetch thread already overlaps the stack, so the
+        # loader-faithful per-batch read stays)
         ds = CriteoBinDataset(bin_path, batch_size=B)
 
         def stream():

@@ -257,6 +257,18 @@ def run(workdir: str, B: int, steps: int, cache_rows: int, zipf: float,
     out = {"recipe": "dim128 bot13-512-256-128 top1024-1024-512-256-1 "
                      "max-ind-range 40M (run_and_time.sh:17)"}
     out["residency"] = residency_report(sizes, 128, hbm)
+    # multi-chip: 8-way ROW-sharding (parallel/sharded.py; tablewise
+    # butterfly canNOT fit — one 40M table is 20.5 GB whole) holds the
+    # full shape resident; per-device = table rows/8 * (row + rwsadagrad
+    # scalar).  dryrun_multichip (4b) compiles+runs this program at
+    # scaled rows on the virtual mesh.
+    per_dev = sum(-(-s // 8) * (128 * 4 + 4) for s in sizes) / 1e9
+    out["sharded_residency_8chip"] = {
+        "impl": "row-sharded psum (n_model=8)",
+        "per_device_gb": round(per_dev, 2),
+        "fits_16gb_chip": per_dev <= hbm - RESERVE_GB,
+        "note": "tablewise butterfly cannot place a 20.5 GB table whole",
+    }
     resident_sizes = [s for t, s in enumerate(sizes)
                       if t not in {d["table"]
                                    for d in out["residency"]
